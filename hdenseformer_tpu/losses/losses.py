@@ -1,0 +1,304 @@
+"""Segmentation loss library as pure JAX functions.
+
+Math-parity re-derivations of the reference loss zoo (loss/dice_loss.py,
+loss/cross_entropy.py, loss/combine_loss.py) with a channels-last
+convention: ``logits``/``target`` are ``(N, *spatial, C)`` where ``target``
+is one-hot with background-as-complement in channel 0 (the reference's
+To_Tensor layout, data_utils/data_loader.py:146-151, with the class axis
+moved last for TPU-friendly layouts).
+
+Everything is a pure function of arrays — composable under jit/grad/vmap
+and trivially shardable. Loss math runs in fp32 regardless of model
+compute dtype.
+
+Reference quirks intentionally preserved (they affect training dynamics):
+- ``FocalLoss`` applies softmax over classes then *binary* cross-entropy
+  per channel, and with the default alpha=1 the weight ``alpha_t``
+  multiplies the loss by the one-hot target, so only positive-channel
+  entries contribute (loss/cross_entropy.py:59-64). Default reduction is
+  'sum' (trainer.py:757).
+- ``DiceLoss`` with ``ignore_index=0`` divides by C-1, otherwise by C
+  (loss/dice_loss.py:84-87).
+- Deep supervision weights are 1/2^i with a *nearest* resize of the
+  one-hot target to each output's spatial shape (loss/combine_loss.py:72-79).
+
+Reference bug NOT replicated: the reference ``TopKLoss`` with its default
+``reduction=None`` returns an unreduced vector (loss/cross_entropy.py:36-43)
+which cannot be backpropagated as a scalar; we return the mean of the
+top-k% voxel CE values, which is the evident intent (nnUNet-style TopK).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_LOG_CLAMP = -100.0  # torch F.binary_cross_entropy clamps log() at -100
+
+
+def _flatten_batch(x: Array) -> Array:
+    return x.reshape(x.shape[0], -1)
+
+
+def binary_dice_loss(
+    predict: Array,
+    target: Array,
+    smooth: float = 1e-5,
+    p: int = 1,
+    reduction: str = "mean",
+    k: int = 50,
+) -> Array:
+    """Soft dice loss on probabilities, per reference loss/dice_loss.py:5-50.
+
+    predict/target: (N, *) — flattened per sample. p is the denominator
+    power; reduction in {'mean','sum','topk','none'}.
+    """
+    predict = _flatten_batch(predict.astype(jnp.float32))
+    target = _flatten_batch(target.astype(jnp.float32))
+    inter = jnp.sum(predict * target, axis=1)
+    union = jnp.sum(predict**p + target**p, axis=1)
+    loss = 1.0 - (2.0 * inter + smooth) / (union + smooth)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "topk":
+        n = loss.shape[0]
+        kk = max(int(n * k / 100), 1)
+        top, _ = jax.lax.top_k(loss, kk)
+        return jnp.mean(top)
+    if reduction == "none":
+        return loss
+    raise ValueError(f"Unexpected reduction {reduction}")
+
+
+def dice_loss(
+    logits: Array,
+    target: Array,
+    weight: Optional[Sequence[float]] = None,
+    ignore_index: Optional[int] = None,
+    smooth: float = 1e-5,
+    p: int = 1,
+    reduction: str = "mean",
+) -> Array:
+    """Multi-class softmax dice (reference loss/dice_loss.py:53-87).
+
+    logits/target: (N, *spatial, C). Vectorized over classes instead of the
+    reference's Python loop — one fused XLA reduction.
+    """
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # (C, N, V)
+    pr = jnp.moveaxis(probs, -1, 0).reshape(num_classes, logits.shape[0], -1)
+    tg = jnp.moveaxis(target.astype(jnp.float32), -1, 0).reshape(
+        num_classes, target.shape[0], -1
+    )
+    per_class = jax.vmap(
+        lambda a, b: binary_dice_loss(a, b, smooth=smooth, p=p, reduction=reduction)
+    )(pr, tg)
+    class_mask = jnp.ones((num_classes,), jnp.float32)
+    if ignore_index is not None:
+        class_mask = class_mask.at[ignore_index].set(0.0)
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)
+        per_class = per_class * w
+    total = jnp.sum(per_class * class_mask)
+    denom = num_classes - 1 if ignore_index is not None else num_classes
+    return total / denom
+
+
+def cross_entropy_loss(
+    logits: Array,
+    target: Array,
+    weight: Optional[Sequence[float]] = None,
+) -> Array:
+    """Softmax CE vs argmax(one-hot target), mean over voxels.
+
+    Matches reference CrossentropyLoss (loss/cross_entropy.py:8-22):
+    torch's weighted CE divides by the summed weights of the chosen labels.
+    """
+    num_classes = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    labels = jnp.argmax(target, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)
+        wsel = w[labels]
+        return jnp.sum(nll * wsel) / jnp.sum(wsel)
+    return jnp.mean(nll)
+
+
+def topk_loss(
+    logits: Array,
+    target: Array,
+    weight: Optional[Sequence[float]] = None,
+    k: int = 10,
+) -> Array:
+    """Mean CE over the hardest k% of voxels (reference loss/cross_entropy.py:26-43).
+
+    Reference-bug note: the reference returns the unreduced top-k vector by
+    default; we return its mean (the usable nnUNet-style semantics).
+    """
+    logits = logits.astype(jnp.float32)
+    labels = jnp.argmax(target, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)
+        nll = nll * w[labels]
+    flat = nll.reshape(-1)
+    kk = max(int(flat.shape[0] * k / 100), 1)
+    top, _ = jax.lax.top_k(flat, kk)
+    return jnp.mean(top)
+
+
+def focal_loss(
+    logits: Array,
+    target: Array,
+    alpha: float = 1.0,
+    gamma: float = 2.0,
+    reduction: str = "sum",
+) -> Array:
+    """Focal loss on softmax probabilities (reference loss/cross_entropy.py:45-71).
+
+    softmax over classes, then elementwise binary CE against the one-hot
+    target, focal modulation (1-p_t)^gamma, and alpha_t weighting. With the
+    reference default alpha=1, alpha_t == target.
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    target = target.astype(jnp.float32)
+    log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
+    log_1p = jnp.maximum(jnp.log(1.0 - probs), _LOG_CLAMP)
+    ce = -(target * log_p + (1.0 - target) * log_1p)
+    p_t = probs * target + (1.0 - probs) * (1.0 - target)
+    loss = ce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * target + (1.0 - alpha) * (1.0 - target)
+        loss = alpha_t * loss
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def fl_loss(
+    logits: Array,
+    target: Array,
+    alpha: float = 1.0,
+    gamma: float = 2.0,
+    reduction: str = "sum",
+    eps: float = 1e-5,
+) -> Array:
+    """Manual-log focal variant (reference FLLoss, loss/cross_entropy.py:76-103)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jnp.clip(probs, eps, 1.0 - eps)
+    target = target.astype(jnp.float32)
+    ce = -target * jnp.log(probs) - (1.0 - target) * jnp.log(1.0 - probs)
+    p_t = probs * target + (1.0 - probs) * (1.0 - target)
+    loss = ce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * target + (1.0 - alpha) * (1.0 - target)
+        loss = alpha_t * loss
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def ce_plus_dice(
+    logits: Array,
+    target: Array,
+    weight: Optional[Sequence[float]] = None,
+    ignore_index: Optional[int] = None,
+) -> Array:
+    """CE + softmax dice (reference loss/combine_loss.py:8-35)."""
+    return cross_entropy_loss(logits, target, weight=weight) + dice_loss(
+        logits, target, weight=weight, ignore_index=ignore_index
+    )
+
+
+def fl_plus_dice(
+    logits: Array,
+    target: Array,
+    weight: Optional[Sequence[float]] = None,
+    ignore_index: Optional[int] = None,
+) -> Array:
+    """FocalLoss(mean) + softmax dice (reference loss/combine_loss.py:37-64)."""
+    return focal_loss(logits, target, reduction="mean") + dice_loss(
+        logits, target, weight=weight, ignore_index=ignore_index
+    )
+
+
+def deep_supervision_loss(
+    loss_fn: Callable[[Array, Array], Array],
+    outputs: Sequence[Array],
+    target: Array,
+) -> Array:
+    """Deep-supervision combine: sum_i loss(out_i, resize(target)) / 2^i.
+
+    Matches reference DeepSuperloss (loss/combine_loss.py:68-79): the one-hot
+    target is shrunk to each head's spatial shape with *nearest* resize.
+    """
+    from hdenseformer_tpu.ops.resize import resize_nearest
+
+    total = jnp.float32(0.0)
+    for i, out in enumerate(outputs):
+        tgt = resize_nearest(target, out.shape[1:-1])
+        total = total + loss_fn(out, tgt) * (1.0 / (2.0**i))
+    return total
+
+
+LOSS_REGISTRY = {
+    "Cross_Entropy": lambda class_weight=None, **kw: partial(
+        cross_entropy_loss, weight=class_weight
+    ),
+    "TopKLoss": lambda class_weight=None, topk=10, **kw: partial(
+        topk_loss, weight=class_weight, k=topk
+    ),
+    "FocalLoss": lambda class_weight=None, **kw: partial(focal_loss, reduction="sum"),
+    "DiceLoss": lambda class_weight=None, **kw: partial(
+        dice_loss, weight=class_weight, ignore_index=0, p=1
+    ),
+    "CEPlusDice": lambda class_weight=None, **kw: partial(
+        ce_plus_dice, weight=class_weight, ignore_index=0
+    ),
+    "FLPlusDice": lambda class_weight=None, **kw: partial(
+        fl_plus_dice, weight=class_weight, ignore_index=0
+    ),
+}
+
+
+def get_loss(
+    loss_fun: str,
+    class_weight: Optional[Sequence[float]] = None,
+    topk: int = 10,
+    use_ds: bool = False,
+) -> Callable:
+    """Loss factory mirroring the reference dispatch (trainer.py:743-771).
+
+    Returns ``loss(outputs, target)`` where outputs is a single logits
+    array or (with ``use_ds``) the list of deep-supervision heads.
+    """
+    if loss_fun not in LOSS_REGISTRY:
+        raise ValueError(f"unknown loss {loss_fun!r}; options: {sorted(LOSS_REGISTRY)}")
+    base = LOSS_REGISTRY[loss_fun](class_weight=class_weight, topk=topk)
+    if not use_ds:
+        def loss(outputs, target):
+            if isinstance(outputs, (list, tuple)):
+                outputs = outputs[0]
+            return base(outputs, target)
+        return loss
+
+    def ds_loss(outputs, target):
+        if not isinstance(outputs, (list, tuple)):
+            outputs = [outputs]
+        return deep_supervision_loss(base, outputs, target)
+
+    return ds_loss

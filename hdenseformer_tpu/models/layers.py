@@ -1,0 +1,293 @@
+"""Shared flax building blocks with PyTorch-compatible initialization.
+
+All modules are channels-last (``(N, *spatial, C)``) so XLA lays convs out
+for the MXU without transposes. Initialization matches torch defaults
+(kaiming-uniform a=sqrt(5) kernels, U(±1/sqrt(fan_in)) biases) because the
+parity target is converged val dice against the reference training recipe
+(SURVEY.md §7.3 "Dice parity").
+
+Compute dtype is configurable (`dtype=bf16` for TPU speed) while params
+stay fp32; normalization statistics are always computed in fp32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+Dtype = jnp.dtype
+
+# torch kaiming_uniform(a=sqrt(5)): U(-b, b), b = sqrt(6/((1+5) fan_in)) = sqrt(1/fan_in)
+kaiming_uniform_torch = jax.nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def uniform_bound_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _tup(v: Union[int, Sequence[int]], n: int) -> Tuple[int, ...]:
+    if isinstance(v, int):
+        return (v,) * n
+    return tuple(v)
+
+
+def _dim_numbers(nsp: int):
+    if nsp == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if nsp == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    if nsp == 1:
+        return ("NWC", "WIO", "NWC")
+    raise ValueError(f"unsupported spatial rank {nsp}")
+
+
+class Conv(nn.Module):
+    """Channels-last conv matching ``torch.nn.ConvNd`` defaults.
+
+    Integer ``padding`` is symmetric per-dim zero padding like torch.
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        nsp = x.ndim - 2
+        k = _tup(self.kernel_size, nsp)
+        s = _tup(self.strides, nsp)
+        p = _tup(self.padding, nsp)
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.feature_group_count) * int(np.prod(k))
+        kernel = self.param(
+            "kernel",
+            kaiming_uniform_torch,
+            k + (in_ch // self.feature_group_count, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=s,
+            padding=[(pi, pi) for pi in p],
+            dimension_numbers=_dim_numbers(nsp),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                uniform_bound_init(1.0 / math.sqrt(fan_in)),
+                (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """Channels-last transposed conv matching ``torch.nn.ConvTransposeNd``.
+
+    Output size = (in-1)*stride - 2*padding + kernel + output_padding,
+    implemented as an input-dilated conv (lhs_dilation=stride) with
+    per-side padding (k-1-p, k-1-p+output_padding). The stored kernel is
+    the *equivalent-conv* kernel: to import torch weights W[in,out,*k],
+    spatially flip and transpose to (*k, in, out).
+
+    Init matches torch: torch computes fan_in on W[in,out,*k] as
+    out_channels * prod(k) (dim-1 times receptive field).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    output_padding: Union[int, Sequence[int]] = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        nsp = x.ndim - 2
+        k = _tup(self.kernel_size, nsp)
+        s = _tup(self.strides, nsp)
+        p = _tup(self.padding, nsp)
+        op = _tup(self.output_padding, nsp)
+        in_ch = x.shape[-1]
+        fan_in = self.features * int(np.prod(k))  # torch's fan for ConvTranspose
+        bound = math.sqrt(1.0 / fan_in)
+        kernel = self.param(
+            "kernel",
+            uniform_bound_init(math.sqrt(3.0) * bound),  # kaiming_uniform(a=sqrt5)
+            k + (in_ch, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        pad = [(ki - 1 - pi, ki - 1 - pi + opi) for ki, pi, opi in zip(k, p, op)]
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1,) * nsp,
+            padding=pad,
+            lhs_dilation=s,
+            dimension_numbers=_dim_numbers(nsp),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", uniform_bound_init(bound), (self.features,), jnp.float32
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """torch.nn.Linear-initialized dense layer (params fp32, compute dtype of x)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_uniform_torch, (in_ch, self.features), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                uniform_bound_init(1.0 / math.sqrt(in_ch)),
+                (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm over spatial dims per (sample, channel), torch semantics.
+
+    torch InstanceNorm uses biased variance, eps=1e-5, and (with
+    track_running_stats=False, the reference default) batch statistics at
+    both train and eval time — so this is a pure function. Statistics in
+    fp32 regardless of input dtype.
+    """
+
+    affine: bool = True
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        axes = tuple(range(1, x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.affine:
+            ch = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch eps=1e-5 and fp32 statistics."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ch = x.shape[-1]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch defaults (eps=1e-5, momentum 0.1 ≡ flax 0.9)."""
+
+    use_running_average: bool = False
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            epsilon=self.epsilon,
+            momentum=self.momentum,
+            dtype=jnp.float32,
+        )(x)
+
+
+class BasicConv(nn.Module):
+    """Conv(bias=False) + InstanceNorm(affine) + ReLU.
+
+    Reference BasicConv3d / BasicConv2d (models/HDenseFormer.py:148-159).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Conv(
+            self.features,
+            self.kernel_size,
+            self.strides,
+            self.padding,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = InstanceNorm(affine=True, name="norm")(x)
+        return nn.relu(x)
+
+
+class UpConv(nn.Module):
+    """Conv3x3 + InstanceNorm(no affine) + ReLU + linear x2 upsample.
+
+    Reference UpConv (models/HDenseFormer.py:162-175).
+    """
+
+    features: int
+    scale: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from hdenseformer_tpu.ops.resize import upsample_linear
+
+        x = Conv(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv")(x)
+        x = InstanceNorm(affine=False, name="norm")(x)
+        x = nn.relu(x)
+        return upsample_linear(x, self.scale)
+
+
+def gelu_exact(x: Array) -> Array:
+    """torch.nn.GELU default: exact erf formulation."""
+    return nn.gelu(x, approximate=False)

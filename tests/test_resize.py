@@ -1,0 +1,70 @@
+"""Golden tests: resize/pool primitives vs torch F.interpolate semantics."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from hdenseformer_tpu.ops import resize_nearest, resize_linear, upsample_linear, max_pool  # noqa: E402
+
+
+def to_channels_last(x_nchw):
+    # (N, C, *sp) -> (N, *sp, C)
+    return np.moveaxis(x_nchw, 1, -1)
+
+
+def to_nchw(x_nlast):
+    return np.moveaxis(np.asarray(x_nlast), -1, 1)
+
+
+@pytest.mark.parametrize("in_size,out_size", [((8, 8), (4, 4)), ((9, 7), (4, 3)), ((4, 4), (6, 10))])
+def test_nearest_2d_matches_torch(rng, in_size, out_size):
+    x = rng.randn(2, 3, *in_size).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), out_size, mode="nearest").numpy()
+    got = to_nchw(resize_nearest(jnp.asarray(to_channels_last(x)), out_size))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("in_size,out_size", [((8, 8, 8), (4, 4, 4)), ((6, 5, 7), (3, 2, 3)), ((3, 3, 3), (5, 6, 7))])
+def test_nearest_3d_matches_torch(rng, in_size, out_size):
+    x = rng.randn(1, 2, *in_size).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), out_size, mode="nearest").numpy()
+    got = to_nchw(resize_nearest(jnp.asarray(to_channels_last(x)), out_size))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("in_size,out_size", [((8, 8, 8), (16, 16, 16)), ((5, 6, 7), (9, 9, 9)), ((8, 8, 8), (4, 4, 4))])
+def test_trilinear_matches_torch(rng, in_size, out_size):
+    x = rng.randn(1, 2, *in_size).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(x), out_size, mode="trilinear", align_corners=False
+    ).numpy()
+    got = to_nchw(resize_linear(jnp.asarray(to_channels_last(x)), out_size))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_scale2_matches_torch(rng):
+    x = rng.randn(2, 3, 5, 6, 7).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(x), scale_factor=2, mode="trilinear", align_corners=False
+    ).numpy()
+    got = to_nchw(upsample_linear(jnp.asarray(to_channels_last(x)), 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_2d_matches_torch(rng):
+    x = rng.randn(2, 3, 12, 10).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(x), (24, 20), mode="bilinear", align_corners=False
+    ).numpy()
+    got = to_nchw(resize_linear(jnp.asarray(to_channels_last(x)), (24, 20)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_matches_torch(rng):
+    x = rng.randn(2, 4, 8, 8, 8).astype(np.float32)
+    ref = F.max_pool3d(torch.from_numpy(x), 2, 2).numpy()
+    got = to_nchw(max_pool(jnp.asarray(to_channels_last(x)), 2, 2))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
