@@ -1,0 +1,226 @@
+"""Batched sliding-window whole-volume inference.
+
+Semantics-parity redesign of reference trainer.py:488-638:
+- identical nnUNet-style window grid (``cal_steps``: ceil over step size,
+  evenly re-spaced, trainer.py:595-618);
+- per-window softmax probabilities uniformly accumulated and normalized
+  by visit counts (the reference computes a gaussian importance map but
+  leaves it disabled, trainer.py:566-576 — we provide ``get_gaussian`` and
+  a ``gaussian`` flag, default off for parity);
+- final argmax. (The reference's second softmax before argmax,
+  trainer.py:582, is argmax-invariant and omitted.)
+
+TPU-first execution instead of the reference's host loop with one
+host->device transfer per window:
+- the whole volume is device-resident; windows are gathered with
+  ``lax.dynamic_slice`` inside a ``lax.scan`` — zero host round-trips;
+- window origins can be sharded across a device mesh (``shard_map``): each
+  chip scans its share and partial accumulators are ``psum``-merged over
+  ICI — this is the framework's "sequence parallel" axis (SURVEY.md §5.7);
+- volumes smaller than the patch are zero-padded to patch size (static
+  shapes for XLA) and the output cropped back.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from hdenseformer_tpu.data.io import hdf5_reader
+from hdenseformer_tpu.data.transforms import Compose, PETandCTNormalize, ToOneHot
+
+
+def cal_steps(
+    image_size: Sequence[int],
+    patch_size: Sequence[int],
+    step_size: Sequence[int],
+) -> list:
+    """Evenly-spaced window origins per dim (ref trainer.py:595-618)."""
+    steps = []
+    for dim in range(len(image_size)):
+        if image_size[dim] <= patch_size[dim]:
+            steps_here = [0]
+        else:
+            max_step_value = image_size[dim] - patch_size[dim]
+            num_steps = int(np.ceil(max_step_value / step_size[dim])) + 1
+            actual_step_size = max_step_value / (num_steps - 1)
+            steps_here = [int(np.round(actual_step_size * i)) for i in range(num_steps)]
+        steps.append(steps_here)
+    return steps
+
+
+def get_gaussian(patch_size: Sequence[int], sigma_scale: float = 1.0 / 8) -> np.ndarray:
+    """Gaussian importance map (ref trainer.py:620-638)."""
+    from scipy.ndimage import gaussian_filter
+
+    tmp = np.zeros(tuple(patch_size))
+    center = [i // 2 for i in patch_size]
+    sigmas = [i * sigma_scale for i in patch_size]
+    tmp[tuple(center)] = 1
+    g = gaussian_filter(tmp, sigmas, 0, mode="constant", cval=0)
+    g = (g / np.max(g)).astype(np.float32)
+    g[g == 0] = np.min(g[g != 0])
+    return g
+
+
+def _origins_array(steps: list) -> np.ndarray:
+    grids = np.meshgrid(*steps, indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "patch_size", "num_classes", "use_gaussian"),
+)
+def _accumulate_windows(
+    apply_fn,
+    params,
+    image: jax.Array,  # (D, H, W, C) device-resident
+    origins: jax.Array,  # (Nw, 3)
+    weights: jax.Array,  # (Nw,) 1.0 real window / 0.0 padding
+    patch_size: Tuple[int, ...],
+    num_classes: int,
+    use_gaussian: bool = False,
+    importance: Optional[jax.Array] = None,
+):
+    spatial = image.shape[:-1]
+    acc = jnp.zeros(spatial + (num_classes,), jnp.float32)
+    cnt = jnp.zeros(spatial + (1,), jnp.float32)
+    imp = (
+        importance[..., None]
+        if use_gaussian and importance is not None
+        else jnp.ones(patch_size + (1,), jnp.float32)
+    )
+
+    def body(carry, inp):
+        acc, cnt = carry
+        origin, w = inp
+        start = tuple(origin[i] for i in range(len(patch_size))) + (0,)
+        patch = jax.lax.dynamic_slice(
+            image, start, patch_size + (image.shape[-1],)
+        )
+        outs = apply_fn({"params": params}, patch[None], train=False)
+        logits = outs[0] if isinstance(outs, (list, tuple)) else outs
+        probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+        contrib = probs * imp * w
+        cur = jax.lax.dynamic_slice(acc, start, patch_size + (num_classes,))
+        acc = jax.lax.dynamic_update_slice(acc, cur + contrib, start)
+        cur_c = jax.lax.dynamic_slice(cnt, start, patch_size + (1,))
+        cnt = jax.lax.dynamic_update_slice(cnt, cur_c + imp * w, start)
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (origins, weights))
+    return acc, cnt
+
+
+def predict_volume(
+    model,
+    params,
+    image: np.ndarray,  # (C, D, H, W) preprocessed, host
+    patch_size: Sequence[int],
+    step_size: Sequence[int],
+    num_classes: int,
+    use_gaussian: bool = False,
+    mesh=None,
+) -> np.ndarray:
+    """Sliding-window class-probability map -> argmax labels (D, H, W)."""
+    patch_size = tuple(patch_size)
+    image_cl = np.moveaxis(np.asarray(image, np.float32), 0, -1)  # (D,H,W,C)
+    orig_spatial = image_cl.shape[:-1]
+    # pad up to patch size (static shapes)
+    pad = [(0, max(0, p - s)) for p, s in zip(patch_size, orig_spatial)]
+    if any(p[1] for p in pad):
+        image_cl = np.pad(image_cl, pad + [(0, 0)])
+    spatial = image_cl.shape[:-1]
+
+    steps = cal_steps(orig_spatial, patch_size, step_size)
+    origins = _origins_array(steps)
+    weights = np.ones((origins.shape[0],), np.float32)
+    importance = (
+        jnp.asarray(get_gaussian(patch_size)) if use_gaussian else None
+    )
+
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        n_dev = int(np.prod(mesh.devices.shape))
+        n_pad = (-len(origins)) % n_dev
+        if n_pad:
+            origins = np.concatenate([origins, np.zeros((n_pad, 3), np.int32)])
+            weights = np.concatenate([weights, np.zeros((n_pad,), np.float32)])
+        from jax.experimental.shard_map import shard_map
+
+        axis = mesh.axis_names[0]
+
+        def sharded(params, image, origins, weights):
+            acc, cnt = _accumulate_windows(
+                model.apply, params, image, origins, weights,
+                patch_size, num_classes, use_gaussian, importance,
+            )
+            return (
+                jax.lax.psum(acc, axis_name=axis),
+                jax.lax.psum(cnt, axis_name=axis),
+            )
+
+        acc, cnt = jax.jit(
+            shard_map(
+                sharded,
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis)),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )
+        )(params, jnp.asarray(image_cl), jnp.asarray(origins), jnp.asarray(weights))
+    else:
+        acc, cnt = _accumulate_windows(
+            model.apply, params, jnp.asarray(image_cl), jnp.asarray(origins),
+            jnp.asarray(weights), patch_size, num_classes, use_gaussian, importance,
+        )
+
+    probs = acc / jnp.maximum(cnt, 1e-8)
+    labels = jnp.argmax(probs, axis=-1)
+    labels = np.asarray(labels)[tuple(slice(0, s) for s in orig_spatial)]
+    return labels.astype(np.int32)
+
+
+def inference_slidingwindow(
+    model,
+    params,
+    test_path: str,
+    save_path: str,
+    num_classes: int,
+    patch_size: Sequence[int],
+    step_size: Sequence[int],
+    img_key: str = "ct",
+    lab_key: str = "label",
+    use_gaussian: bool = False,
+    mesh=None,
+) -> list:
+    """Whole-directory sliding-window inference, saving .npy label maps.
+
+    Reference parity: trainer.py:488-593 (PETandCTNormalize preprocessing,
+    same output naming '<case>.npy').
+    """
+    os.makedirs(save_path, exist_ok=True)
+    pathlist = sorted(glob.glob(os.path.join(test_path, "*.hdf5")))
+    tfm = Compose([PETandCTNormalize()])
+    outputs = []
+    for path in pathlist:
+        image = hdf5_reader(path, img_key)
+        try:
+            label = hdf5_reader(path, lab_key)
+        except KeyError:
+            label = np.zeros(image.shape[1:], np.float32)
+        sample = tfm({"image": image, "label": label})
+        pred = predict_volume(
+            model, params, sample["image"], patch_size, step_size,
+            num_classes, use_gaussian=use_gaussian, mesh=mesh,
+        )
+        case = os.path.basename(path).split(".")[0]
+        np.save(os.path.join(save_path, case + ".npy"), pred)
+        outputs.append(os.path.join(save_path, case + ".npy"))
+    return outputs

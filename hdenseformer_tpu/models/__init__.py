@@ -1,0 +1,88 @@
+"""Model zoo registry.
+
+``get_net`` mirrors the reference dispatch (trainer.py:640-741): same
+net_name strings, same constructor knobs, flax modules returned. All
+models are channels-last and dimension-consistent with the reference.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+
+def get_net(
+    net_name: str,
+    channels: int,
+    num_classes: int,
+    input_shape: Sequence[int],
+    transformer_depth: int = 24,
+    encoder_name: Optional[str] = None,
+    dtype=None,
+):
+    input_shape = tuple(input_shape)
+    if net_name == "HDenseFormer_32":
+        from hdenseformer_tpu.models.hdenseformer import HDenseFormer_32
+
+        return HDenseFormer_32(channels, num_classes, input_shape, transformer_depth, dtype=dtype)
+    if net_name == "HDenseFormer_16":
+        from hdenseformer_tpu.models.hdenseformer import HDenseFormer_16
+
+        return HDenseFormer_16(channels, num_classes, input_shape, transformer_depth, dtype=dtype)
+    if net_name == "HDenseFormer_2D_32":
+        from hdenseformer_tpu.models.hdenseformer import HDenseFormer_2D_32
+
+        return HDenseFormer_2D_32(channels, num_classes, input_shape, transformer_depth, dtype=dtype)
+    if net_name == "HDenseFormer_2D_16":
+        from hdenseformer_tpu.models.hdenseformer import HDenseFormer_2D_16
+
+        return HDenseFormer_2D_16(channels, num_classes, input_shape, transformer_depth, dtype=dtype)
+    if net_name == "hecktor20top1":
+        from hdenseformer_tpu.models.hecktor20top1 import hecktertop1
+
+        return hecktertop1(in_channels=channels, n_cls=num_classes, dtype=dtype)
+    if net_name == "TransBTS":
+        from hdenseformer_tpu.models.transbts import TransBTS
+
+        return TransBTS(n_channels=channels, num_classes=num_classes, img_dim=input_shape[0], dtype=dtype)
+    if net_name == "da_unet":
+        from hdenseformer_tpu.models.daunet import da_unet
+
+        return da_unet(init_depth=input_shape[0], n_channels=channels, n_classes=num_classes, dtype=dtype)
+    if net_name == "se_unet":
+        from hdenseformer_tpu.models.daunet import se_unet
+
+        return se_unet(init_depth=input_shape[0], n_channels=channels, n_classes=num_classes, dtype=dtype)
+    if net_name == "da_se_unet":
+        from hdenseformer_tpu.models.daunet import da_se_unet
+
+        return da_se_unet(init_depth=input_shape[0], n_channels=channels, n_classes=num_classes, dtype=dtype)
+    if net_name == "res_da_se_unet":
+        from hdenseformer_tpu.models.daunet import res_da_se_unet
+
+        return res_da_se_unet(init_depth=input_shape[0], n_channels=channels, n_classes=num_classes, dtype=dtype)
+    if net_name == "unetr":
+        from hdenseformer_tpu.models.unetr import UNETR
+
+        return UNETR(
+            in_channels=channels,
+            out_channels=num_classes,
+            img_size=input_shape,
+            feature_size=16,
+            hidden_size=768,
+            mlp_dim=3072,
+            num_heads=12,
+            dtype=dtype,
+        )
+    if net_name in ("unet", "unet++", "deeplabv3+"):
+        from hdenseformer_tpu.models.unet2d import get_2d_net
+
+        if encoder_name is None:
+            raise ValueError("encoder name must not be 'None'!")
+        return get_2d_net(
+            net_name,
+            encoder_name=encoder_name,
+            in_channels=channels,
+            classes=num_classes,
+            aux_classes=num_classes - 1,
+            dtype=dtype,
+        )
+    raise ValueError(f"unknown net_name {net_name!r}")

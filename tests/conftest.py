@@ -1,18 +1,24 @@
-"""Test harness: force an 8-device virtual CPU platform BEFORE jax import.
+"""Test harness: force an 8-device virtual CPU platform BEFORE any jax use.
 
 This is the JAX-native 'fake backend' for exercising mesh/pjit code without
-TPU hardware (SURVEY.md §4). Must run before any module imports jax.
+TPU hardware (SURVEY.md §4). The surrounding environment pre-registers a
+real-TPU 'axon' PJRT plugin and forces ``jax_platforms='axon,cpu'`` from
+sitecustomize, so the env var alone is not enough — we re-update the jax
+config before the backend is initialized.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must precede backend init
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (
         prev + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Keep matmuls deterministic-ish and fast on CPU test runs.
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -25,6 +31,4 @@ def rng():
 
 @pytest.fixture(scope="session")
 def jax_devices():
-    import jax
-
     return jax.devices()

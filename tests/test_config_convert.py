@@ -1,0 +1,94 @@
+"""Config presets + offline conversion pipeline."""
+import os
+
+import numpy as np
+import pytest
+
+from hdenseformer_tpu.configs import get_config
+from hdenseformer_tpu.data.convert import (
+    nii2npy_hecktor,
+    resample_image,
+    resize_data,
+    split_and_resize_data,
+)
+from hdenseformer_tpu.data.io import hdf5_reader, write_nifti
+from fixtures import make_dataset_dir
+
+
+def test_config_autoselect_rules():
+    cfg = get_config("Hecktor21")
+    assert cfg.loss_fun == "FocalLoss"  # binary -> FocalLoss (config.py:127)
+    assert cfg.use_ds is True  # DenseFormer in net name (config.py:136)
+    assert cfg.batch_size == 2  # 3d mode (config.py:77)
+
+    cfg2 = get_config("PI-CAI22", net_name="HDenseFormer_2D_32", mode="2d_seg")
+    assert cfg2.batch_size == 24
+    cfg3 = get_config("BraTS21")
+    assert cfg3.loss_fun == "CEPlusDice"  # multiclass
+
+
+def test_config_presets_table():
+    assert get_config("Hecktor21").channels == 2
+    assert get_config("BraTS21").channels == 4
+    assert get_config("LITS").roi_number == 2
+    assert get_config("LITS").scale == (-100, 200)
+    assert get_config("PI-CAI22").input_shape == (384, 384)
+
+
+def test_config_kwargs_shapes():
+    cfg = get_config("Hecktor21")
+    init_kw = cfg.init_trainer_kwargs()
+    assert init_kw["key_touple"] == ("ct", "seg")
+    setup_kw = cfg.setup_trainer_kwargs()
+    assert setup_kw["lr_scheduler"] == "poly_lr"
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(ValueError):
+        get_config("Hecktor21", bogus_key=1)
+
+
+def test_resample_image_spacing():
+    vol = np.random.RandomState(0).rand(10, 20, 20).astype(np.float32)
+    out, new_sp = resample_image(vol, spacing=(2.0, 1.0, 1.0), new_spacing=(1.0, 1.0, 1.0))
+    assert out.shape == (20, 20, 20)
+    assert new_sp == pytest.approx((1.0, 1.0, 1.0))
+    lab = (vol > 0.5).astype(np.uint8)
+    out_l, _ = resample_image(lab, (2.0, 1.0, 1.0), new_spacing=(1.0, 1.0, 1.0), is_label=True)
+    assert set(np.unique(out_l)) <= {0, 1}
+
+
+def test_nii2npy_hecktor(tmp_path):
+    rng = np.random.RandomState(0)
+    for pid in ["CHUM001", "CHUM002"]:
+        d = tmp_path / "raw" / pid
+        d.mkdir(parents=True)
+        write_nifti(str(d / f"{pid}_ct.nii.gz"), rng.randint(-1000, 1000, (8, 8, 8)).astype(np.int16))
+        write_nifti(str(d / f"{pid}_pt.nii.gz"), rng.rand(8, 8, 8).astype(np.float32) * 10)
+        lab = np.zeros((8, 8, 8), np.uint8)
+        lab[2:5, 2:5, 2:5] = 1
+        write_nifti(str(d / f"{pid}_gtvt.nii.gz"), lab)
+    written = nii2npy_hecktor(str(tmp_path / "raw"), str(tmp_path / "h5"))
+    assert len(written) == 2
+    img = hdf5_reader(written[0], "ct")
+    seg = hdf5_reader(written[0], "seg")
+    assert img.shape == (2, 8, 8, 8)
+    assert seg.shape == (8, 8, 8)
+    assert seg.max() == 1
+
+
+def test_resize_data_all_cases(tmp_path):
+    make_dataset_dir(str(tmp_path / "in"), n_cases=3, shape=(12, 12, 12), channels=2)
+    written = resize_data(str(tmp_path / "in"), str(tmp_path / "out"), target_size=(8, 8, 8))
+    assert len(written) == 3  # reference bug (stray break) not replicated
+    img = hdf5_reader(written[0], "ct")
+    assert img.shape == (2, 8, 8, 8)
+
+
+def test_split_and_resize(tmp_path):
+    make_dataset_dir(str(tmp_path / "in"), n_cases=5, shape=(12, 12, 12), channels=2)
+    train, test = split_and_resize_data(
+        str(tmp_path / "in"), str(tmp_path / "out"), target_size=(8, 8, 8), retain=2
+    )
+    assert len(train) == 3 and len(test) == 2
+    assert os.path.isdir(str(tmp_path / "out" / "train"))

@@ -1,0 +1,98 @@
+"""Sliding-window inference: grid parity + accumulation semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hdenseformer_tpu.infer.sliding import (
+    cal_steps,
+    get_gaussian,
+    predict_volume,
+)
+from hdenseformer_tpu.parallel.mesh import make_mesh
+
+
+def ref_cal_steps(image_size, patch_size, step_size):
+    """Literal re-statement of the reference math (trainer.py:595-618)."""
+    steps = []
+    for dim in range(len(image_size)):
+        if image_size[dim] <= patch_size[dim]:
+            steps_here = [0]
+        else:
+            max_step_value = image_size[dim] - patch_size[dim]
+            num_steps = int(np.ceil(max_step_value / step_size[dim])) + 1
+            actual = max_step_value / (num_steps - 1)
+            steps_here = [int(np.round(actual * i)) for i in range(num_steps)]
+        steps.append(steps_here)
+    return steps
+
+
+@pytest.mark.parametrize(
+    "image,patch,step",
+    [
+        ((144, 144, 144), (144, 144, 144), (72, 72, 72)),
+        ((200, 180, 150), (144, 144, 144), (72, 72, 72)),
+        ((100, 100, 100), (144, 144, 144), (72, 72, 72)),
+        ((448, 512, 512), (144, 144, 144), (72, 72, 72)),
+    ],
+)
+def test_cal_steps_parity(image, patch, step):
+    assert cal_steps(image, patch, step) == ref_cal_steps(image, patch, step)
+
+
+def test_gaussian_map_properties():
+    g = get_gaussian((16, 16, 16))
+    assert g.shape == (16, 16, 16)
+    assert g.max() == pytest.approx(1.0)
+    assert g.min() > 0
+    assert g[8, 8, 8] == pytest.approx(1.0)
+
+
+class ArgmaxNet(nn.Module):
+    """Trivial 'model': logits = one-hot-ish of (voxel > 0)."""
+
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        fg = x[..., :1] * 10.0
+        bg = -fg
+        return jnp.concatenate([bg, fg], axis=-1)
+
+
+def test_predict_volume_reconstructs_mask():
+    model = ArgmaxNet()
+    vol = np.zeros((1, 40, 40, 40), np.float32) - 1.0
+    vol[0, 10:30, 5:25, 15:35] = 1.0
+    pred = predict_volume(
+        model, {}, vol, patch_size=(16, 16, 16), step_size=(8, 8, 8), num_classes=2
+    )
+    expected = (vol[0] > 0).astype(np.int32)
+    np.testing.assert_array_equal(pred, expected)
+
+
+def test_predict_volume_smaller_than_patch():
+    model = ArgmaxNet()
+    vol = np.zeros((1, 10, 10, 10), np.float32) - 1.0
+    vol[0, 2:8, 2:8, 2:8] = 1.0
+    pred = predict_volume(
+        model, {}, vol, patch_size=(16, 16, 16), step_size=(8, 8, 8), num_classes=2
+    )
+    assert pred.shape == (10, 10, 10)
+    np.testing.assert_array_equal(pred, (vol[0] > 0).astype(np.int32))
+
+
+def test_predict_volume_sharded_matches_single():
+    model = ArgmaxNet()
+    rng = np.random.RandomState(0)
+    vol = rng.randn(1, 32, 32, 32).astype(np.float32)
+    single = predict_volume(
+        model, {}, vol, (16, 16, 16), (8, 8, 8), 2, mesh=None
+    )
+    mesh = make_mesh(len(jax.devices()))
+    sharded = predict_volume(
+        model, {}, vol, (16, 16, 16), (8, 8, 8), 2, mesh=mesh
+    )
+    np.testing.assert_array_equal(single, sharded)

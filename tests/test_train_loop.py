@@ -1,0 +1,197 @@
+"""Training engine: optimizer/scheduler parity, overfit-one-batch, multi-device."""
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from fixtures import make_dataset_dir
+
+from hdenseformer_tpu.train.state import (
+    TrainState,
+    get_optimizer,
+    get_lr_scheduler,
+    set_learning_rate,
+    current_learning_rate,
+    PolyLR,
+)
+from hdenseformer_tpu.train.checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    get_weight_path,
+    metric_filename,
+    dfs_remove_weight,
+)
+from hdenseformer_tpu.train.loop import SemanticSeg, EarlyStopping
+
+
+def test_poly_lr_matches_torch_formula():
+    sched = PolyLR(1e-3, max_epochs=100)
+    lrs = [sched.step() for _ in range(100)]
+    for e in [0, 1, 50, 99]:
+        assert lrs[e] == pytest.approx(1e-3 * (1 - e / 100) ** 0.9, rel=1e-9)
+
+
+def test_schedulers_factory():
+    for name in [
+        "poly_lr", "MultiStepLR", "CosineAnnealingLR",
+        "CosineAnnealingWarmRestarts", "ReduceLROnPlateau",
+    ]:
+        s = get_lr_scheduler(name, 1e-3, n_epoch=10)
+        vals = [s.step(1.0) for _ in range(10)]
+        assert all(v >= 0 for v in vals), name
+        assert vals[0] == pytest.approx(1e-3), name
+
+
+def test_multistep_lr():
+    s = get_lr_scheduler("MultiStepLR", 1.0, milestones=[2, 4], gamma=0.1)
+    lrs = [s.step() for _ in range(6)]
+    assert lrs == pytest.approx([1.0, 1.0, 0.1, 0.1, 0.01, 0.01])
+
+
+def test_adam_matches_torch_coupled_l2(rng):
+    """One optimizer step vs torch.optim.Adam with weight decay."""
+    w0 = rng.randn(4, 3).astype(np.float32)
+    b0 = rng.randn(3).astype(np.float32)
+    g_w = rng.randn(4, 3).astype(np.float32)
+    g_b = rng.randn(3).astype(np.float32)
+
+    # torch: decay applies to w (2-D) but our mask excludes b (1-D);
+    # replicate by building param groups like the reference does
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.Adam(
+        [{"params": [tw]}, {"params": [tb], "weight_decay": 0.0}],
+        lr=1e-3, weight_decay=1e-4,
+    )
+    tw.grad = torch.from_numpy(g_w.copy())
+    tb.grad = torch.from_numpy(g_b.copy())
+    for _ in range(3):
+        opt.step()
+
+    params = {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}
+    grads = {"kernel": jnp.asarray(g_w), "bias": jnp.asarray(g_b)}
+    tx = get_optimizer("Adam", 1e-3, weight_decay=1e-4)
+    state = TrainState.create(apply_fn=None, params=params, tx=tx)
+    for _ in range(3):
+        state = state.apply_gradients(grads)
+
+    np.testing.assert_allclose(np.asarray(state.params["kernel"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params["bias"]), tb.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_set_learning_rate_roundtrip():
+    tx = get_optimizer("Adam", 1e-3)
+    state = TrainState.create(apply_fn=None, params={"w": jnp.ones(3)}, tx=tx)
+    state = set_learning_rate(state, 5e-4)
+    assert current_learning_rate(state) == pytest.approx(5e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    tx = get_optimizer("Adam", 1e-3)
+    state = TrainState.create(apply_fn=None, params=params, tx=tx)
+    fname = metric_filename(7, 0.1, 0.9, 0.9, 0.2, 0.8, 0.8)
+    path = os.path.join(str(tmp_path), "fold1", fname)
+    save_checkpoint(path, state.params, state.opt_state, epoch=7, step=70)
+    assert get_weight_path(os.path.join(str(tmp_path), "fold1")) == path
+    restored = load_checkpoint(path)
+    np.testing.assert_array_equal(restored["params"]["w"], np.asarray(params["w"]))
+    assert int(restored["epoch"]) == 7
+
+
+def test_dfs_remove_weight(tmp_path):
+    d = tmp_path / "fold1"
+    d.mkdir()
+    for e in range(6):
+        (d / metric_filename(e, 0.1, 0.9, 0.9, 0.2, 0.8, 0.8)).write_bytes(b"x")
+    dfs_remove_weight(str(tmp_path), retain=3)
+    left = sorted(os.listdir(d))
+    assert len(left) == 3
+    assert all(f"epoch={e}-" in "".join(left) for e in [3, 4, 5])
+
+
+def test_early_stopping_max_mode():
+    es = EarlyStopping(patience=2, verbose=False, monitor="val_dice", op_type="max")
+    for v in [0.5, 0.6, 0.55, 0.58]:
+        es(v)
+    assert es.early_stop
+
+
+def test_overfit_one_batch(tmp_path):
+    """End-to-end: tiny HDenseFormer_2D trains on synthetic data; loss drops."""
+    paths = make_dataset_dir(
+        str(tmp_path / "data"), n_cases=4, shape=(32, 32), channels=2, num_classes=2
+    )
+    seg = SemanticSeg(
+        net_name="HDenseFormer_2D_16",
+        lr=1e-3,
+        n_epoch=3,
+        channels=2,
+        num_classes=2,
+        roi_number=None,
+        input_shape=(32, 32),
+        crop=0,
+        batch_size=2,
+        num_workers=2,
+        transform_2d=[1, 10],
+        transformer_depth=8,
+        use_fp16=False,
+        key_touple=("ct", "seg"),
+    )
+    history = seg.trainer(
+        train_path=paths[:2],
+        val_path=paths[2:],
+        cur_fold=1,
+        output_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "log"),
+        optimizer="Adam",
+        loss_fun="FocalLoss",
+        lr_scheduler="poly_lr",
+        use_ds=True,
+        n_devices=1,
+    )
+    assert len(history["train_loss"]) == 3
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    # a checkpoint was saved and retention ran
+    fold_dir = str(tmp_path / "ckpt" / "fold1")
+    assert get_weight_path(fold_dir) is not None
+
+
+def test_train_step_multi_device(tmp_path):
+    """Data-parallel train step over the full 8-device CPU mesh."""
+    paths = make_dataset_dir(
+        str(tmp_path / "data"), n_cases=8, shape=(16, 16), channels=2, num_classes=2
+    )
+    seg = SemanticSeg(
+        net_name="HDenseFormer_2D_16",
+        lr=1e-3,
+        n_epoch=1,
+        channels=2,
+        num_classes=2,
+        roi_number=None,
+        input_shape=(16, 16),
+        crop=0,
+        batch_size=8,
+        num_workers=2,
+        transform_2d=[1, 10],
+        transformer_depth=8,
+        use_fp16=False,
+    )
+    history = seg.trainer(
+        train_path=paths,
+        val_path=paths,
+        cur_fold=1,
+        output_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "log"),
+        optimizer="Adam",
+        loss_fun="FocalLoss",
+        lr_scheduler="poly_lr",
+        use_ds=True,
+        n_devices=len(jax.devices()),
+    )
+    assert np.isfinite(history["train_loss"][0])
