@@ -1,0 +1,89 @@
+"""Benchmark: HDenseFormer_32 training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the headline configuration (reference config.py:70,77,120:
+HECKTOR 144^3, 2 modalities, batch 2, transformer_depth 24) as full
+training steps (fwd + deep-supervision FocalLoss + bwd + Adam) and
+reports 128^3-equivalent patches/sec (BASELINE.md target metric).
+``vs_baseline`` is the ratio to the reference PyTorch implementation's
+CPU throughput measured once on this machine (see baselines/cpu_torch.json).
+"""
+import json
+import os
+import sys
+import time
+
+VOL = (144, 144, 144)
+CHANNELS = 2
+BATCH = 2
+DEPTH = 24
+STEPS = 8
+
+# 128^3-equivalent voxel scaling: one 144^3 patch = (144/128)^3 "128^3 patches"
+PATCH_EQUIV = (VOL[0] / 128.0) * (VOL[1] / 128.0) * (VOL[2] / 128.0)
+
+_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baselines", "cpu_torch.json")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hdenseformer_tpu.losses import get_loss
+    from hdenseformer_tpu.models import get_net
+    from hdenseformer_tpu.train.loop import make_train_step
+    from hdenseformer_tpu.train.state import TrainState, get_optimizer
+
+    model = get_net(
+        "HDenseFormer_32",
+        channels=CHANNELS,
+        num_classes=2,
+        input_shape=VOL,
+        transformer_depth=DEPTH,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((BATCH,) + VOL + (CHANNELS,), jnp.float32)
+    y = jnp.zeros((BATCH,) + VOL + (2,), jnp.float32).at[..., 0].set(1.0)
+    variables = model.init({"params": rng}, x)
+    tx = get_optimizer("Adam", 1e-3, weight_decay=1e-4)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx, model_state={}
+    )
+    criterion = get_loss("FocalLoss", use_ds=True)
+    step = make_train_step(criterion, num_classes=2)
+    batch = {"image": x, "label": y}
+
+    # compile + warmup
+    state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = BATCH * STEPS * PATCH_EQUIV / dt
+
+    vs = None
+    if os.path.exists(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("patches_per_sec"):
+            vs = patches_per_sec / base["patches_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_128eq_patches_per_sec",
+                "value": round(patches_per_sec, 4),
+                "unit": "patches/s/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

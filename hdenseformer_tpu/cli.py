@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--input-shape", type=int, nargs="+", default=None,
+                   help="override the preset input/patch shape, e.g. 144 144 144")
+    p.add_argument("--step-size", type=int, nargs="+", default=None,
+                   help="sliding-window step, e.g. 72 72 72")
+    p.add_argument("--transformer-depth", type=int, default=None)
+    p.add_argument("--folds", type=int, default=None, help="number of CV folds")
+    p.add_argument("--seed", type=int, default=None)
     # convert mode
     p.add_argument("--convert-format", choices=["hecktor", "brats"], default="hecktor")
     p.add_argument("--input-dir", default=None)
@@ -70,6 +77,17 @@ def make_config(args):
         overrides["n_devices"] = args.n_devices
     if args.no_bf16:
         overrides["use_fp16"] = False
+    if args.input_shape:
+        overrides["input_shape"] = tuple(args.input_shape)
+        overrides["patch_size"] = tuple(args.input_shape)
+    if args.step_size:
+        overrides["step_size"] = tuple(args.step_size)
+    if args.transformer_depth:
+        overrides["transformer_depth"] = args.transformer_depth
+    if args.folds:
+        overrides["fold_num"] = args.folds
+    if args.seed is not None:
+        overrides["seed"] = args.seed
     return get_config(args.dataset, **overrides)
 
 

@@ -80,7 +80,7 @@ def _origins_array(steps: list) -> np.ndarray:
 )
 def _accumulate_windows(
     apply_fn,
-    params,
+    variables,
     image: jax.Array,  # (D, H, W, C) device-resident
     origins: jax.Array,  # (Nw, 3)
     weights: jax.Array,  # (Nw,) 1.0 real window / 0.0 padding
@@ -105,7 +105,7 @@ def _accumulate_windows(
         patch = jax.lax.dynamic_slice(
             image, start, patch_size + (image.shape[-1],)
         )
-        outs = apply_fn({"params": params}, patch[None], train=False)
+        outs = apply_fn(variables, patch[None], train=False)
         logits = outs[0] if isinstance(outs, (list, tuple)) else outs
         probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
         contrib = probs * imp * w
@@ -121,7 +121,7 @@ def _accumulate_windows(
 
 def predict_volume(
     model,
-    params,
+    variables,
     image: np.ndarray,  # (C, D, H, W) preprocessed, host
     patch_size: Sequence[int],
     step_size: Sequence[int],
@@ -156,9 +156,9 @@ def predict_volume(
 
         axis = mesh.axis_names[0]
 
-        def sharded(params, image, origins, weights):
+        def sharded(variables, image, origins, weights):
             acc, cnt = _accumulate_windows(
-                model.apply, params, image, origins, weights,
+                model.apply, variables, image, origins, weights,
                 patch_size, num_classes, use_gaussian, importance,
             )
             return (
@@ -174,10 +174,10 @@ def predict_volume(
                 out_specs=(P(), P()),
                 check_rep=False,
             )
-        )(params, jnp.asarray(image_cl), jnp.asarray(origins), jnp.asarray(weights))
+        )(variables, jnp.asarray(image_cl), jnp.asarray(origins), jnp.asarray(weights))
     else:
         acc, cnt = _accumulate_windows(
-            model.apply, params, jnp.asarray(image_cl), jnp.asarray(origins),
+            model.apply, variables, jnp.asarray(image_cl), jnp.asarray(origins),
             jnp.asarray(weights), patch_size, num_classes, use_gaussian, importance,
         )
 
@@ -189,7 +189,7 @@ def predict_volume(
 
 def inference_slidingwindow(
     model,
-    params,
+    variables,
     test_path: str,
     save_path: str,
     num_classes: int,
@@ -217,7 +217,7 @@ def inference_slidingwindow(
             label = np.zeros(image.shape[1:], np.float32)
         sample = tfm({"image": image, "label": label})
         pred = predict_volume(
-            model, params, sample["image"], patch_size, step_size,
+            model, variables, sample["image"], patch_size, step_size,
             num_classes, use_gaussian=use_gaussian, mesh=mesh,
         )
         case = os.path.basename(path).split(".")[0]

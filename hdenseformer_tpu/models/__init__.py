@@ -43,6 +43,13 @@ def get_net(
         from hdenseformer_tpu.models.transbts import TransBTS
 
         return TransBTS(n_channels=channels, num_classes=num_classes, img_dim=input_shape[0], dtype=dtype)
+    if net_name == "unet_3d":
+        # plain 3D UNet (listed in the reference registry config.py:9 but
+        # with no dispatch branch; provided here as the 'plain' DAUNet)
+        from hdenseformer_tpu.models.daunet import DAUNet
+
+        depths = tuple(input_shape[0] // (2**k) for k in range(5))
+        return DAUNet(n_classes=num_classes, depths=depths, conv_builder="plain", dtype=dtype)
     if net_name == "da_unet":
         from hdenseformer_tpu.models.daunet import da_unet
 

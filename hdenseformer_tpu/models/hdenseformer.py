@@ -75,10 +75,13 @@ class DenseAttention(nn.Module):
     heads: int = 8
     dim_head: int = 4
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        from hdenseformer_tpu.ops.dense_attention import dense_attention
+
         inner = self.heads * self.dim_head
         b, n, _ = x.shape
         qkv = Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
@@ -88,13 +91,8 @@ class DenseAttention(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = self.dim_head**-0.5
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = dense_attention(q, k, v, use_pallas=self.use_pallas)
+        out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, n, inner)
         project_out = not (self.heads == 1 and self.dim_head == self.dim)
         if project_out:
             out = Dense(self.dim, dtype=self.dtype, name="to_out")(out)
@@ -115,6 +113,7 @@ class DensePreConvAttentionBlock(nn.Module):
     depth: int = 4
     heads: int = 8
     dropout: float = 0.5
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -131,6 +130,7 @@ class DensePreConvAttentionBlock(nn.Module):
                 heads=self.heads,
                 dim_head=g // self.heads,
                 dropout=self.dropout,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )
@@ -168,6 +168,7 @@ class DenseTransformerBlock(nn.Module):
     growth_rate: int = 32
     heads: int = 8
     dropout: float = 0.5
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -199,6 +200,7 @@ class DenseTransformerBlock(nn.Module):
                 growth_rate=self.growth_rate,
                 heads=self.heads,
                 dropout=self.dropout,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
@@ -221,6 +223,8 @@ class HDenseFormer(nn.Module):
     image_size: Tuple[int, ...] = (144, 144, 144)
     transformer_depth: int = 12
     dropout: float = 0.5
+    use_pallas: bool = False
+    remat: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -228,13 +232,24 @@ class HDenseFormer(nn.Module):
         det = not train
         nf = self.n_filters
         dt = self.dtype
+        # rematerialization: at 144^3 the stored conv activations exceed a
+        # single chip's HBM for the backward pass; checkpointing each block
+        # trades one recompute for per-level instead of per-layer residency.
+        if self.remat:
+            BasicConvM = nn.remat(BasicConv)
+            UpConvM = nn.remat(UpConv)
+            ConvTransposeM = nn.remat(ConvTranspose)
+            TransBlock = nn.remat(DenseTransformerBlock, static_argnums=(2,))
+        else:
+            BasicConvM, UpConvM, ConvTransposeM = BasicConv, UpConv, ConvTranspose
+            TransBlock = DenseTransformerBlock
 
         # --- per-modality dense transformer paths, batched with vmap ------
         # (C_mod, N, *sp, 1): each modality through its own parameter bank,
         # evaluated as a single stacked computation.
         stacked = jnp.moveaxis(x, -1, 0)[..., None]
         VTrans = nn.vmap(
-            DenseTransformerBlock,
+            TransBlock,
             in_axes=(0, None),
             out_axes=0,
             variable_axes={"params": 0},
@@ -246,6 +261,7 @@ class HDenseFormer(nn.Module):
             patch_size=16,
             depth=self.transformer_depth // 4,
             dropout=self.dropout,
+            use_pallas=self.use_pallas,
             dtype=dt,
             name="attns",
         )(stacked, det)
@@ -253,47 +269,47 @@ class HDenseFormer(nn.Module):
         attnall = jnp.moveaxis(outs, 0, -2)
         attnall = attnall.reshape(attnall.shape[:-2] + (-1,))
 
-        attnout = UpConv(8 * nf, dtype=dt, name="deep_conv")(attnall)  # 1/8
-        at1 = UpConv(4 * nf, dtype=dt, name="up1")(attnout)  # 1/4
-        at2 = UpConv(2 * nf, dtype=dt, name="up2")(at1)  # 1/2
-        at3 = UpConv(1 * nf, dtype=dt, name="up3")(at2)  # 1/1
+        attnout = UpConvM(8 * nf, dtype=dt, name="deep_conv")(attnall)  # 1/8
+        at1 = UpConvM(4 * nf, dtype=dt, name="up1")(attnout)  # 1/4
+        at2 = UpConvM(2 * nf, dtype=dt, name="up2")(at1)  # 1/2
+        at3 = UpConvM(1 * nf, dtype=dt, name="up3")(at2)  # 1/1
 
         # --- UNet encoder with additive transformer fusion ----------------
-        ds0 = BasicConv(nf, dtype=dt, name="block_1_1_left")(x)
-        ds0 = BasicConv(nf, dtype=dt, name="block_1_2_left")(ds0)
+        ds0 = BasicConvM(nf, dtype=dt, name="block_1_1_left")(x)
+        ds0 = BasicConvM(nf, dtype=dt, name="block_1_2_left")(ds0)
         ds0 = ds0 + at3
-        ds1 = BasicConv(2 * nf, dtype=dt, name="block_2_1_left")(max_pool(ds0))
-        ds1 = BasicConv(2 * nf, dtype=dt, name="block_2_2_left")(ds1)
+        ds1 = BasicConvM(2 * nf, dtype=dt, name="block_2_1_left")(max_pool(ds0))
+        ds1 = BasicConvM(2 * nf, dtype=dt, name="block_2_2_left")(ds1)
         ds1 = ds1 + at2
-        ds2 = BasicConv(4 * nf, dtype=dt, name="block_3_1_left")(max_pool(ds1))
-        ds2 = BasicConv(4 * nf, dtype=dt, name="block_3_2_left")(ds2)
+        ds2 = BasicConvM(4 * nf, dtype=dt, name="block_3_1_left")(max_pool(ds1))
+        ds2 = BasicConvM(4 * nf, dtype=dt, name="block_3_2_left")(ds2)
         ds2 = ds2 + at1
-        y = BasicConv(8 * nf, dtype=dt, name="block_4_1_left")(max_pool(ds2))
-        y = BasicConv(8 * nf, dtype=dt, name="block_4_2_left")(y)
+        y = BasicConvM(8 * nf, dtype=dt, name="block_4_1_left")(max_pool(ds2))
+        y = BasicConvM(8 * nf, dtype=dt, name="block_4_2_left")(y)
         y = y + attnout
 
         # --- decoder with deep-supervision heads --------------------------
         out3 = Conv(self.n_cls, 1, name="head_d3")(y.astype(jnp.float32))
         y = jnp.concatenate(
-            [ConvTranspose(4 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_3")(y), ds2],
+            [ConvTransposeM(4 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_3")(y), ds2],
             axis=-1,
         )
-        y = BasicConv(4 * nf, dtype=dt, name="block_3_1_right")(y)
-        y = BasicConv(4 * nf, dtype=dt, name="block_3_2_right")(y)
+        y = BasicConvM(4 * nf, dtype=dt, name="block_3_1_right")(y)
+        y = BasicConvM(4 * nf, dtype=dt, name="block_3_2_right")(y)
         out2 = Conv(self.n_cls, 1, name="head_d2")(y.astype(jnp.float32))
         y = jnp.concatenate(
-            [ConvTranspose(2 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_2")(y), ds1],
+            [ConvTransposeM(2 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_2")(y), ds1],
             axis=-1,
         )
-        y = BasicConv(2 * nf, dtype=dt, name="block_2_1_right")(y)
-        y = BasicConv(2 * nf, dtype=dt, name="block_2_2_right")(y)
+        y = BasicConvM(2 * nf, dtype=dt, name="block_2_1_right")(y)
+        y = BasicConvM(2 * nf, dtype=dt, name="block_2_2_right")(y)
         out1 = Conv(self.n_cls, 1, name="head_d1")(y.astype(jnp.float32))
         y = jnp.concatenate(
-            [ConvTranspose(nf, 3, 2, 1, 1, dtype=dt, name="upconv_1")(y), ds0],
+            [ConvTransposeM(nf, 3, 2, 1, 1, dtype=dt, name="upconv_1")(y), ds0],
             axis=-1,
         )
-        y = BasicConv(nf, dtype=dt, name="block_1_1_right")(y)
-        y = BasicConv(nf, dtype=dt, name="block_1_2_right")(y)
+        y = BasicConvM(nf, dtype=dt, name="block_1_1_right")(y)
+        y = BasicConvM(nf, dtype=dt, name="block_1_2_right")(y)
         out0 = Conv(self.n_cls, 1, name="head")(y.astype(jnp.float32))
         return [out0, out1, out2, out3]
 

@@ -1,0 +1,195 @@
+"""Hecktor20Top1: SE-normalized deep 5-level UNet with additive vision heads.
+
+Parity target: reference models/Hecktor20Top1/{model.py,layers.py} —
+``FastSmoothSENormDeepUNet_supervision_skip_no_drop``:
+- FastSmoothSENorm: InstanceNorm3d(no affine) scaled by sigmoid SE gamma
+  and shifted by tanh SE beta (layers.py:21-45);
+- FastSmoothSeNormConv3d: conv -> relu -> SENorm (layers.py:48-58);
+- RESseNormConv3d: residual with 1x1 SENorm conv when widths differ
+  (layers.py:61-75);
+- decoder with ConvTranspose(k3,s2,p1,op1) skips and multi-scale
+  *additive* vision heads sv2..sv4 merged before the last block
+  (model.py:62-85).
+
+Channels-last flax; fp32 head.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hdenseformer_tpu.models.layers import Conv, ConvTranspose, InstanceNorm
+from hdenseformer_tpu.ops.resize import max_pool, upsample_linear
+
+Array = jax.Array
+
+
+class SEWeights(nn.Module):
+    """Global-mean squeeze -> 1x1 conv MLP (ref layers.py:22-33)."""
+
+    in_channels: int
+    reduction: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        pooled = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)), keepdims=True)
+        h = Conv(self.in_channels // self.reduction, 1, dtype=self.dtype, name="conv1")(pooled)
+        h = nn.relu(h)
+        return Conv(self.in_channels, 1, dtype=self.dtype, name="conv2")(h)
+
+
+class FastSmoothSENorm(nn.Module):
+    """IN(no affine) * sigmoid(gamma(x)) + tanh(beta(x)) (ref layers.py:21-45)."""
+
+    in_channels: int
+    reduction: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gamma = jax.nn.sigmoid(
+            SEWeights(self.in_channels, self.reduction, self.dtype, name="gamma")(x)
+        )
+        beta = jnp.tanh(
+            SEWeights(self.in_channels, self.reduction, self.dtype, name="beta")(x)
+        )
+        normed = InstanceNorm(affine=False, name="norm")(x)
+        return gamma * normed + beta
+
+
+class FastSmoothSeNormConv(nn.Module):
+    """conv -> relu -> SENorm (ref layers.py:48-58)."""
+
+    out_channels: int
+    reduction: int = 2
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Conv(
+            self.out_channels, self.kernel_size, self.strides, self.padding,
+            use_bias=True, dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.relu(x)
+        return FastSmoothSENorm(self.out_channels, self.reduction, self.dtype, name="norm")(x)
+
+
+class RESseNormConv(nn.Module):
+    """Residual SENorm conv (ref layers.py:61-75)."""
+
+    out_channels: int
+    reduction: int = 2
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = FastSmoothSeNormConv(
+            self.out_channels, self.reduction, self.kernel_size, self.strides,
+            self.padding, self.dtype, name="conv1",
+        )(x)
+        if x.shape[-1] != self.out_channels:
+            res = FastSmoothSeNormConv(
+                self.out_channels, self.reduction, 1, 1, 0, self.dtype, name="res_conv"
+            )(x)
+        else:
+            res = x
+        return h + res
+
+
+class VisionUp(nn.Module):
+    """1x1 SENorm conv + trilinear x scale upsample (ref layers.py:78-87)."""
+
+    out_channels: int
+    scale: int
+    reduction: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = FastSmoothSeNormConv(
+            self.out_channels, self.reduction, 1, 1, 0, self.dtype, name="conv"
+        )(x)
+        return upsample_linear(x, self.scale)
+
+
+class Hecktor20Top1(nn.Module):
+    """The full model (ref model.py:7-85). Returns single logits array."""
+
+    in_channels: int
+    n_cls: int
+    n_filters: int = 32
+    reduction: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        nf = self.n_filters
+        r = self.reduction
+        dt = self.dtype
+
+        def res(out, name, k=3, p=1):
+            return RESseNormConv(out, r, k, 1, p, dt, name=name)
+
+        def sen(out, name):
+            return FastSmoothSeNormConv(out, r, 3, 1, 1, dt, name=name)
+
+        ds0 = res(nf, "block_1_1_left", k=7, p=3)(x)
+        ds0 = res(nf, "block_1_2_left")(ds0)
+        h = max_pool(ds0)
+        for i in range(1, 4):
+            h = res(2 * nf, f"block_2_{i}_left")(h)
+        ds1 = h
+        h = max_pool(ds1)
+        for i in range(1, 4):
+            h = res(4 * nf, f"block_3_{i}_left")(h)
+        ds2 = h
+        h = max_pool(ds2)
+        for i in range(1, 4):
+            h = res(8 * nf, f"block_4_{i}_left")(h)
+        ds3 = h
+        h = max_pool(ds3)
+        for i in range(1, 4):
+            h = res(16 * nf, f"block_5_{i}_left")(h)
+
+        h = jnp.concatenate(
+            [ConvTranspose(8 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_4")(h), ds3], -1
+        )
+        h = sen(8 * nf, "block_4_1_right")(h)
+        h = sen(8 * nf, "block_4_2_right")(h)
+        sv4 = VisionUp(nf, 8, r, dt, name="vision_4")(h)
+
+        h = jnp.concatenate(
+            [ConvTranspose(4 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_3")(h), ds2], -1
+        )
+        h = sen(4 * nf, "block_3_1_right")(h)
+        h = sen(4 * nf, "block_3_2_right")(h)
+        sv3 = VisionUp(nf, 4, r, dt, name="vision_3")(h)
+
+        h = jnp.concatenate(
+            [ConvTranspose(2 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_2")(h), ds1], -1
+        )
+        h = sen(2 * nf, "block_2_1_right")(h)
+        h = sen(2 * nf, "block_2_2_right")(h)
+        sv2 = VisionUp(nf, 2, r, dt, name="vision_2")(h)
+
+        h = jnp.concatenate(
+            [ConvTranspose(nf, 3, 2, 1, 1, dtype=dt, name="upconv_1")(h), ds0], -1
+        )
+        h = sen(nf, "block_1_1_right")(h)
+        h = h + sv4 + sv3 + sv2
+        h = sen(nf, "block_1_2_right")(h)
+        return Conv(self.n_cls, 1, name="conv1x1")(h.astype(jnp.float32))
+
+
+def hecktertop1(in_channels, n_cls, dtype=None):
+    return Hecktor20Top1(in_channels=in_channels, n_cls=n_cls, n_filters=32, dtype=dtype)

@@ -61,6 +61,7 @@ class Conv(nn.Module):
     kernel_size: Union[int, Sequence[int]]
     strides: Union[int, Sequence[int]] = 1
     padding: Union[int, Sequence[int]] = 0
+    dilation: Union[int, Sequence[int]] = 1
     use_bias: bool = True
     feature_group_count: int = 1
     dtype: Optional[Dtype] = None
@@ -71,6 +72,7 @@ class Conv(nn.Module):
         k = _tup(self.kernel_size, nsp)
         s = _tup(self.strides, nsp)
         p = _tup(self.padding, nsp)
+        d = _tup(self.dilation, nsp)
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.feature_group_count) * int(np.prod(k))
         kernel = self.param(
@@ -85,6 +87,7 @@ class Conv(nn.Module):
             kernel.astype(dtype),
             window_strides=s,
             padding=[(pi, pi) for pi in p],
+            rhs_dilation=d,
             dimension_numbers=_dim_numbers(nsp),
             feature_group_count=self.feature_group_count,
         )

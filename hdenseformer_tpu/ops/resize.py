@@ -72,6 +72,41 @@ def upsample_linear(x: jax.Array, scale: int | Sequence[int]) -> jax.Array:
     return resize_linear(x, size)
 
 
+def resize_linear_align_corners(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Bi/trilinear resize with torch ``align_corners=True`` semantics.
+
+    src = dst * (in-1)/(out-1). Implemented as per-axis dense interpolation
+    matrices (an (out,in) matmul per spatial axis) — exact, and the matmuls
+    ride the MXU instead of gather units.
+    """
+    size = _check_spatial(x, size)
+    for axis, out_len in enumerate(size):
+        in_len = x.shape[axis + 1]
+        if in_len == out_len:
+            continue
+        if out_len == 1 or in_len == 1:
+            src = np.zeros((out_len,), np.float64)
+        else:
+            src = np.arange(out_len, dtype=np.float64) * (in_len - 1) / (out_len - 1)
+        lo = np.clip(np.floor(src).astype(np.int64), 0, in_len - 1)
+        hi = np.clip(lo + 1, 0, in_len - 1)
+        frac = src - lo
+        A = np.zeros((out_len, in_len), np.float32)
+        A[np.arange(out_len), lo] += (1.0 - frac).astype(np.float32)
+        A[np.arange(out_len), hi] += frac.astype(np.float32)
+        x = jnp.tensordot(jnp.asarray(A), x, axes=[[1], [axis + 1]])
+        x = jnp.moveaxis(x, 0, axis + 1)
+    return x
+
+
+def upsample_linear_align_corners(x: jax.Array, scale: int | Sequence[int]) -> jax.Array:
+    nsp = x.ndim - 2
+    if isinstance(scale, int):
+        scale = (scale,) * nsp
+    size = tuple(int(x.shape[i + 1] * s) for i, s in enumerate(scale))
+    return resize_linear_align_corners(x, size)
+
+
 def max_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
     """MaxPool over all spatial dims (torch ``MaxPool2d/3d(k, s)``)."""
     nsp = x.ndim - 2

@@ -28,6 +28,7 @@ def save_checkpoint(
     opt_state: Any = None,
     epoch: int = 0,
     step: int = 0,
+    model_state: Any = None,
     extra: Optional[Dict] = None,
 ) -> None:
     payload = {
@@ -37,6 +38,8 @@ def save_checkpoint(
     }
     if opt_state is not None:
         payload["opt_state"] = jax.device_get(opt_state)
+    if model_state:
+        payload["model_state"] = jax.device_get(model_state)
     if extra:
         payload["extra"] = extra
     os.makedirs(os.path.dirname(path), exist_ok=True)

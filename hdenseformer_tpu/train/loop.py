@@ -118,17 +118,31 @@ def make_train_step(criterion, num_classes: int):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict, dropout_rng: jax.Array):
         rng = jax.random.fold_in(dropout_rng, state.step)
+        mutable = list(state.model_state.keys())
 
         def loss_fn(params):
-            outs = state.apply_fn(
-                {"params": params}, batch["image"], train=True, rngs={"dropout": rng}
-            )
+            if mutable:
+                outs, new_model_state = state.apply_fn(
+                    {"params": params, **state.model_state},
+                    batch["image"],
+                    train=True,
+                    rngs={"dropout": rng},
+                    mutable=mutable,
+                )
+            else:
+                outs = state.apply_fn(
+                    {"params": params}, batch["image"], train=True,
+                    rngs={"dropout": rng},
+                )
+                new_model_state = {}
             loss = criterion(outs, batch["label"])
             logits = outs[0] if isinstance(outs, (list, tuple)) else outs
-            return loss, logits
+            return loss, (logits, new_model_state)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads)
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, model_state=dict(new_model_state))
         logits = logits.astype(jnp.float32)
         dice = compute_dice(logits, batch["label"])
         cm = confusion_matrix_device(
@@ -142,7 +156,7 @@ def make_train_step(criterion, num_classes: int):
 def make_eval_step(criterion, num_classes: int):
     @jax.jit
     def eval_step(state: TrainState, batch: Dict):
-        outs = state.apply_fn({"params": state.params}, batch["image"], train=False)
+        outs = state.apply_fn(state.variables(), batch["image"], train=False)
         loss = criterion(outs, batch["label"])
         logits = outs[0] if isinstance(outs, (list, tuple)) else outs
         logits = logits.astype(jnp.float32)
@@ -288,32 +302,36 @@ class SemanticSeg:
         shape = (batch,) + self.input_shape + (self.channels,)
         return jnp.zeros(shape, jnp.float32)
 
-    def init_params(self):
-        variables = self.model.init(
+    def init_variables(self):
+        return self.model.init(
             {"params": jax.random.PRNGKey(self.seed)}, self._example_input()
         )
-        return variables["params"]
 
-    def build_state(self, optimizer: str = "Adam", params=None) -> TrainState:
-        if params is None:
-            params = self.init_params()
+    def build_state(self, optimizer: str = "Adam", variables=None) -> TrainState:
+        if variables is None:
+            variables = self.init_variables()
+        variables = dict(variables)
+        params = variables.pop("params")
         tx = get_optimizer(
             optimizer, self.lr, weight_decay=self.weight_decay, momentum=self.momentum
         )
-        apply_fn = self.model.apply
-        return TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
+        return TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=tx, model_state=variables
+        )
 
     def load_pretrained(self, state: TrainState, weight_path: str, ckpt_point=True):
-        ckpt = load_checkpoint(
-            weight_path,
-            template={
-                "epoch": np.int64(0),
-                "step": np.int64(0),
-                "params": jax.device_get(state.params),
-                "opt_state": jax.device_get(state.opt_state),
-            },
-        )
+        template = {
+            "epoch": np.int64(0),
+            "step": np.int64(0),
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+        }
+        if state.model_state:
+            template["model_state"] = jax.device_get(state.model_state)
+        ckpt = load_checkpoint(weight_path, template=template)
         state = state.replace(params=ckpt["params"])
+        if "model_state" in ckpt and ckpt["model_state"]:
+            state = state.replace(model_state=ckpt["model_state"])
         if ckpt_point:
             self.start_epoch = int(ckpt["epoch"]) + 1
             if "opt_state" in ckpt and ckpt["opt_state"] is not None:
@@ -436,7 +454,8 @@ class SemanticSeg:
                 save_path = os.path.join(output_dir, fname)
                 print(f"Save as: {fname}")
                 save_checkpoint(
-                    save_path, state.params, state.opt_state, epoch, int(state.step)
+                    save_path, state.params, state.opt_state, epoch,
+                    int(state.step), model_state=state.model_state,
                 )
             if early_stopping.early_stop:
                 print("Early stopping")
@@ -474,22 +493,20 @@ class SemanticSeg:
         return state, {"loss": loss_meter.avg, "dice": dice_meter.avg, "run_dice": rd}
 
     # -- inference --------------------------------------------------------
-    def inference_slidingwindow(self, test_path, save_path, state=None, params=None):
+    def inference_slidingwindow(self, test_path, save_path, state=None, variables=None):
         from hdenseformer_tpu.infer.sliding import inference_slidingwindow
 
-        if params is None:
-            if state is not None:
-                params = state.params
-            elif getattr(self, "state", None) is not None:
-                params = self.state.params
-            elif self.weight_path:
-                st = self.build_state()
-                st = self.load_pretrained(st, self.weight_path, ckpt_point=False)
-                params = st.params
-            else:
-                raise ValueError("no parameters available for inference")
+        if variables is None:
+            if state is None:
+                state = getattr(self, "state", None)
+            if state is None:
+                if not self.weight_path:
+                    raise ValueError("no parameters available for inference")
+                state = self.build_state()
+                state = self.load_pretrained(state, self.weight_path, ckpt_point=False)
+            variables = state.variables()
         return inference_slidingwindow(
-            self.model, params, test_path, save_path,
+            self.model, variables, test_path, save_path,
             num_classes=self.num_classes,
             patch_size=self.patch_size, step_size=self.step_size,
         )

@@ -30,25 +30,33 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
     opt_state: Any
+    model_state: Any  # non-param variable collections (e.g. batch_stats)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
 
-    def apply_gradients(self, grads):
+    def apply_gradients(self, grads, model_state=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         return self.replace(
-            step=self.step + 1, params=new_params, opt_state=new_opt_state
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            model_state=self.model_state if model_state is None else model_state,
         )
 
     @classmethod
-    def create(cls, apply_fn, params, tx):
+    def create(cls, apply_fn, params, tx, model_state=None):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
+            model_state={} if model_state is None else model_state,
             tx=tx,
             apply_fn=apply_fn,
         )
+
+    def variables(self) -> dict:
+        return {"params": self.params, **self.model_state}
 
 
 def decay_mask(params) -> Any:

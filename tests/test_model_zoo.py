@@ -1,0 +1,78 @@
+"""Model zoo: shape/dtype smoke tests for every net_name at small sizes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hdenseformer_tpu.models import get_net
+
+
+def run_model(model, shape, train=False):
+    x = jnp.asarray(np.random.RandomState(0).randn(*shape).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+    kwargs = {}
+    if train:
+        kwargs = {"train": True, "rngs": {"dropout": jax.random.PRNGKey(2)}}
+        out = model.apply(variables, x, mutable=["batch_stats"], **kwargs)
+        return out[0]
+    return model.apply(variables, x)
+
+
+@pytest.mark.parametrize(
+    "net_name,channels,shape",
+    [
+        ("hecktor20top1", 2, (1, 32, 32, 32, 2)),
+        ("da_unet", 1, (1, 32, 32, 32, 1)),
+        ("se_unet", 1, (1, 32, 32, 32, 1)),
+        ("res_da_se_unet", 1, (1, 32, 32, 32, 1)),
+        ("unet_3d", 1, (1, 32, 32, 32, 1)),
+    ],
+)
+def test_3d_models_shapes(net_name, channels, shape):
+    model = get_net(net_name, channels=channels, num_classes=2, input_shape=shape[1:-1])
+    out = run_model(model, shape)
+    if isinstance(out, (list, tuple)):
+        out = out[0]
+    assert out.shape == shape[:-1] + (2,)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_transbts_shapes():
+    model = get_net("TransBTS", channels=2, num_classes=2, input_shape=(32, 32, 32))
+    out = run_model(model, (1, 32, 32, 32, 2))
+    assert out.shape == (1, 32, 32, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unetr_shapes():
+    model = get_net("unetr", channels=2, num_classes=2, input_shape=(32, 32, 32))
+    out = run_model(model, (1, 32, 32, 32, 2))
+    assert out.shape == (1, 32, 32, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("net_name", ["unet", "unet++", "deeplabv3+"])
+@pytest.mark.parametrize("encoder", ["resnet18", "resnet50"])
+def test_2d_baselines(net_name, encoder):
+    model = get_net(
+        net_name, channels=3, num_classes=2, input_shape=(64, 64), encoder_name=encoder
+    )
+    out = run_model(model, (1, 64, 64, 3))
+    assert isinstance(out, (list, tuple))  # [masks, aux labels]
+    masks, labels = out
+    assert masks.shape == (1, 64, 64, 2)
+    assert labels.shape == (1, 1)
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_2d_baseline_requires_encoder():
+    with pytest.raises(ValueError):
+        get_net("unet", channels=3, num_classes=2, input_shape=(64, 64))
+
+
+def test_train_mode_with_batchnorm_mutation():
+    model = get_net("da_unet", channels=1, num_classes=2, input_shape=(16, 16, 16))
+    out = run_model(model, (2, 16, 16, 16, 1), train=True)
+    assert out.shape == (2, 16, 16, 16, 2)
