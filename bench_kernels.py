@@ -1,0 +1,54 @@
+"""Kernel microbenchmarks: Pallas vs XLA paths on the current backend.
+
+Run on TPU to decide benchmark-gated kernel defaults (the model's
+``use_pallas`` flag). Prints one JSON line per kernel comparison.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=50):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from hdenseformer_tpu.ops.dense_attention import fused_dense_attention, xla_attention
+
+    # H-DenseFormer headline shape: batch2 x 2 modalities, 8 heads,
+    # 729 tokens, head_dim 4
+    rng = np.random.RandomState(0)
+    for b, h, n, d, tag in [(4, 8, 729, 4, "hdf_headline"), (16, 8, 729, 4, "hdf_large_batch")]:
+        q = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+        xla_t = timeit(jax.jit(xla_attention), q, k, v)
+        try:
+            pallas_t = timeit(jax.jit(fused_dense_attention), q, k, v)
+        except Exception as e:
+            pallas_t = None
+        print(
+            json.dumps(
+                {
+                    "kernel": "dense_attention",
+                    "shape": tag,
+                    "xla_us": round(xla_t * 1e6, 1),
+                    "pallas_us": round(pallas_t * 1e6, 1) if pallas_t else None,
+                    "speedup": round(xla_t / pallas_t, 2) if pallas_t else None,
+                    "backend": jax.default_backend(),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

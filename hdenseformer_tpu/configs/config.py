@@ -88,6 +88,7 @@ class ExperimentConfig:
     topk: int = 10
     use_fp16: bool = True  # bf16 compute on TPU
     use_ds: Optional[bool] = None  # None -> auto by net name
+    use_pallas: bool = False  # benchmark-gated Pallas kernels (TPU only)
     seed: int = 0
 
     # augmentation selections (same indexing as trainer.py:128-176)
@@ -168,6 +169,7 @@ class ExperimentConfig:
             transformer_depth=self.transformer_depth,
             key_touple=self.keys,
             seed=self.seed,
+            use_pallas=self.use_pallas,
         )
 
     def setup_trainer_kwargs(self) -> dict:

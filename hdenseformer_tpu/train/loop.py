@@ -210,6 +210,7 @@ class SemanticSeg:
         transformer_depth=18,
         key_touple=("ct", "seg"),
         seed=0,
+        use_pallas: bool = False,
     ):
         self.net_name = net_name
         self.encoder_name = encoder_name
@@ -258,6 +259,7 @@ class SemanticSeg:
             transformer_depth=transformer_depth,
             encoder_name=encoder_name,
             dtype=compute_dtype,
+            use_pallas=use_pallas,
         )
 
         # indexed transform tables, numbering identical to trainer.py:128-176
