@@ -55,13 +55,15 @@ def main():
     step = make_train_step(criterion, num_classes=2)
     batch = {"image": x, "label": y}
 
-    # compile + warmup
+    # compile + warmup. NOTE: through the remote-TPU relay used on this
+    # machine, block_until_ready alone does not guarantee execution has
+    # finished -- a host transfer (float()) is the only reliable sync.
     state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forces the chained step sequence to completion
     dt = time.perf_counter() - t0
 
     patches_per_sec = BATCH * STEPS * PATCH_EQUIV / dt

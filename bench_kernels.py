@@ -11,13 +11,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, q, k, v, iters=50):
+    """Times with per-call input variation (the remote-TPU relay caches
+    identical dispatches) and a host transfer as the sync barrier."""
+    out = fn(q, k, v)
+    float(jnp.sum(out))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    acc = jnp.float32(0.0)
+    for i in range(iters):
+        out = fn(q + i * 1e-6, k, v)
+        acc = acc + jnp.sum(out)  # chain iterations so the final transfer forces all
+    float(acc)
     return (time.perf_counter() - t0) / iters
 
 

@@ -91,6 +91,25 @@ def make_config(args):
     return get_config(args.dataset, **overrides)
 
 
+def _report_params_flops(seg, cfg):
+    """Param/GFLOP report at startup (ref run.py:66-67, 76-78, via XLA
+    cost analysis instead of thop)."""
+    try:
+        import jax.numpy as jnp
+
+        from hdenseformer_tpu.utils import count_flops, count_params
+
+        variables = seg.init_variables()
+        n = count_params(variables.get("params", variables))
+        print(f"params: {n/1e6:.3f} M")
+        x = jnp.zeros((1,) + tuple(cfg.input_shape) + (cfg.channels,), jnp.float32)
+        flops = count_flops(lambda xx: seg.model.apply(variables, xx), x)
+        if flops:
+            print(f"forward GFLOPs: {flops/1e9:.3f}")
+    except Exception as e:
+        print(f"(param/flop report skipped: {type(e).__name__})")
+
+
 def run_train(cfg, folds):
     from hdenseformer_tpu.data.pipeline import get_cross_validation_by_sample
     from hdenseformer_tpu.parallel.mesh import maybe_distributed_init
@@ -101,9 +120,13 @@ def run_train(cfg, folds):
     path_list = cfg.path_list
     if not path_list:
         raise FileNotFoundError(f"no .hdf5 cases under {cfg.data_path}")
+    reported = False
     for current_fold in folds:
         print(f"=== Training Fold {current_fold} ===")
         seg = SemanticSeg(**cfg.init_trainer_kwargs())
+        if not reported:
+            _report_params_flops(seg, cfg)
+            reported = True
         train_path, val_path = get_cross_validation_by_sample(
             path_list, cfg.fold_num, current_fold, shuffle_seed=cfg.seed
         )

@@ -88,7 +88,7 @@ class ExperimentConfig:
     topk: int = 10
     use_fp16: bool = True  # bf16 compute on TPU
     use_ds: Optional[bool] = None  # None -> auto by net name
-    use_pallas: bool = False  # benchmark-gated Pallas kernels (TPU only)
+    use_pallas: Optional[bool] = None  # None=auto: Pallas kernels on TPU
     seed: int = 0
 
     # augmentation selections (same indexing as trainer.py:128-176)

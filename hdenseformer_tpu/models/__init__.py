@@ -17,7 +17,7 @@ def get_net(
     transformer_depth: int = 24,
     encoder_name: Optional[str] = None,
     dtype=None,
-    use_pallas: bool = False,
+    use_pallas=None,
 ):
     input_shape = tuple(input_shape)
     if net_name == "HDenseFormer_32":

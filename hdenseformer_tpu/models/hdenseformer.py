@@ -75,7 +75,7 @@ class DenseAttention(nn.Module):
     heads: int = 8
     dim_head: int = 4
     dropout: float = 0.0
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -113,7 +113,7 @@ class DensePreConvAttentionBlock(nn.Module):
     depth: int = 4
     heads: int = 8
     dropout: float = 0.5
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -168,7 +168,7 @@ class DenseTransformerBlock(nn.Module):
     growth_rate: int = 32
     heads: int = 8
     dropout: float = 0.5
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -223,7 +223,7 @@ class HDenseFormer(nn.Module):
     image_size: Tuple[int, ...] = (144, 144, 144)
     transformer_depth: int = 12
     dropout: float = 0.5
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     remat: bool = True
     dtype: Optional[jnp.dtype] = None
 

@@ -112,8 +112,16 @@ def _fused_bwd(residuals, g):
 fused_dense_attention_trainable.defvjp(_fused_fwd, _fused_bwd)
 
 
-def dense_attention(q, k, v, use_pallas: bool = False):
-    """Dispatch: benchmark-gated Pallas kernel on TPU, XLA otherwise."""
+def dense_attention(q, k, v, use_pallas=None):
+    """Dispatch: Pallas kernel on TPU by default, XLA otherwise.
+
+    Benchmark gate (bench_kernels.py on v5e): fused kernel is 19.1x faster
+    at the headline shape (B4xH8xN729xD4: 24.6ms -> 1.29ms) and 3.5x at
+    B16, so TPU defaults to the Pallas path; pass use_pallas=False to
+    force XLA.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and jax.default_backend() == "tpu":
         return fused_dense_attention_trainable(q, k, v)
     return xla_attention(q, k, v)

@@ -210,7 +210,7 @@ class SemanticSeg:
         transformer_depth=18,
         key_touple=("ct", "seg"),
         seed=0,
-        use_pallas: bool = False,
+        use_pallas=None,
     ):
         self.net_name = net_name
         self.encoder_name = encoder_name
