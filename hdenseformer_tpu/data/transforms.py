@@ -201,6 +201,21 @@ def remap_roi_labels(label: np.ndarray, roi_number, num_class: int) -> np.ndarra
     return (label == roi_number).astype(np.float32)
 
 
+class RawChannelsLast:
+    """Minimal tensorization for the device-augment path: image to
+    channels-last float32, label kept as integer volume (augmentation,
+    normalization and one-hot all happen on device, data/augment_jax.py)."""
+
+    def __call__(self, sample, rng=None):
+        image = np.asarray(sample["image"], dtype=np.float32)
+        label = np.asarray(sample["label"], dtype=np.float32)
+        if image.ndim == label.ndim:
+            image = image[None]
+        sample["image"] = np.ascontiguousarray(np.moveaxis(image, 0, -1))
+        sample["label"] = label
+        return sample
+
+
 class Compose:
     """Sequential transform composition threading the RNG through."""
 

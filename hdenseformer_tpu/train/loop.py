@@ -112,12 +112,21 @@ class EarlyStopping:
         self.val_score_min = val_score
 
 
-def make_train_step(criterion, num_classes: int):
-    """Build the compiled train step: grads + update + on-device metrics."""
+def make_train_step(criterion, num_classes: int, augment_fn=None):
+    """Build the compiled train step: grads + update + on-device metrics.
+
+    With ``augment_fn(key, image, int_label) -> (image, onehot_label)`` the
+    batched augmentation pipeline runs INSIDE the compiled step on device
+    (data/augment_jax.py) — the host only ships raw voxels.
+    """
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict, dropout_rng: jax.Array):
         rng = jax.random.fold_in(dropout_rng, state.step)
+        if augment_fn is not None:
+            aug_rng = jax.random.fold_in(jax.random.fold_in(dropout_rng, 777), state.step)
+            image, label = augment_fn(aug_rng, batch["image"], batch["label"])
+            batch = {"image": image, "label": label}
         mutable = list(state.model_state.keys())
 
         def loss_fn(params):
@@ -211,6 +220,7 @@ class SemanticSeg:
         key_touple=("ct", "seg"),
         seed=0,
         use_pallas=None,
+        device_augment=False,
     ):
         self.net_name = net_name
         self.encoder_name = encoder_name
@@ -244,6 +254,7 @@ class SemanticSeg:
         self.transformer_depth = transformer_depth
         self.key_touple = tuple(key_touple)
         self.seed = seed
+        self.device_augment = device_augment
 
         if self.roi_number is not None:
             assert self.num_classes == 2, (
@@ -376,12 +387,29 @@ class SemanticSeg:
         n_params = count_params(state.params)
         print(f"{self.net_name}: {n_params/1e6:.3f} M params")
 
-        train_step = make_train_step(criterion, self.num_classes)
+        is_3d = len(self.input_shape) > 2
+        augment_fn = None
+        if self.device_augment:
+            if not is_3d:
+                raise ValueError("device_augment currently supports the 3D pipeline")
+            from hdenseformer_tpu.data.augment_jax import augment_batch_3d
+
+            patch = self.patch_size
+            ncls = self.num_classes
+
+            def augment_fn(key, image, label):
+                return augment_batch_3d(key, image, label, patch, num_classes=ncls)
+
+        train_step = make_train_step(criterion, self.num_classes, augment_fn=augment_fn)
         eval_step = make_eval_step(criterion, self.num_classes)
         dropout_rng = jax.random.PRNGKey(self.seed)
 
-        is_3d = len(self.input_shape) > 2
-        train_tfm = Compose(self.train_transform_3d if is_3d else self.train_transform_2d)
+        if self.device_augment:
+            from hdenseformer_tpu.data.transforms import RawChannelsLast
+
+            train_tfm = Compose([RawChannelsLast()])
+        else:
+            train_tfm = Compose(self.train_transform_3d if is_3d else self.train_transform_2d)
         val_tfm = Compose(self.val_transform_3d if is_3d else self.val_transform_2d)
         train_ds = SegDataset(
             train_path, roi_number=self.roi_number, num_class=self.num_classes,
