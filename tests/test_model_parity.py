@@ -1,0 +1,171 @@
+"""Weight-copy forward parity vs the reference torch implementations.
+
+Complements test_hdenseformer.py's flagship parity: DAUNet, Hecktor20Top1
+and the 2D HDenseFormer are built in torch (reference, read-only import),
+weights are mapped into the flax trees, and outputs compared in eval mode.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_util import reference_available, add_reference_to_path
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present"
+)
+
+
+def _t2j_conv(w):
+    nd = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (1, 0))
+
+
+def _t2j_convT(w):
+    nd = w.ndim - 2
+    w = np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+    return np.flip(w, axis=tuple(range(nd))).copy()
+
+
+def _cl(x_nchw):
+    return jnp.asarray(np.moveaxis(x_nchw, 1, -1))
+
+
+def _nchw(x_cl):
+    return np.moveaxis(np.asarray(x_cl), -1, 1)
+
+
+@needs_ref
+def test_hecktor20top1_parity():
+    add_reference_to_path()
+    from models.Hecktor20Top1.model import FastSmoothSENormDeepUNet_supervision_skip_no_drop as RefNet
+
+    from hdenseformer_tpu.models.hecktor20top1 import Hecktor20Top1
+
+    torch.manual_seed(0)
+    nf = 4
+    ref = RefNet(in_channels=2, n_cls=2, n_filters=nf).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = Hecktor20Top1(in_channels=2, n_cls=2, n_filters=nf)
+    x = jnp.zeros((1, 32, 32, 32, 2))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    def load_senorm_conv(tree, prefix):
+        tree["conv"]["kernel"] = _t2j_conv(sd[f"{prefix}.conv.weight"])
+        tree["conv"]["bias"] = sd[f"{prefix}.conv.bias"]
+        for gw in ("gamma", "beta"):
+            tree["norm"][gw]["conv1"]["kernel"] = _t2j_conv(sd[f"{prefix}.norm.{gw}.conv1.weight"])
+            tree["norm"][gw]["conv1"]["bias"] = sd[f"{prefix}.norm.{gw}.conv1.bias"]
+            tree["norm"][gw]["conv2"]["kernel"] = _t2j_conv(sd[f"{prefix}.norm.{gw}.conv2.weight"])
+            tree["norm"][gw]["conv2"]["bias"] = sd[f"{prefix}.norm.{gw}.conv2.bias"]
+
+    # residual encoder blocks
+    for lvl, blocks in [(1, 2), (2, 3), (3, 3), (4, 3), (5, 3)]:
+        for b in range(1, blocks + 1):
+            name = f"block_{lvl}_{b}_left"
+            load_senorm_conv(params[name]["conv1"], f"{name}.conv1")
+            if f"{name}.res_conv.conv.weight" in sd:
+                load_senorm_conv(params[name]["res_conv"], f"{name}.res_conv")
+    # decoder
+    for k in (1, 2, 3, 4):
+        params[f"upconv_{k}"]["kernel"] = _t2j_convT(sd[f"upconv_{k}.weight"])
+        params[f"upconv_{k}"]["bias"] = sd[f"upconv_{k}.bias"]
+    for lvl, blocks in [(1, 2), (2, 2), (3, 2), (4, 2)]:
+        for b in range(1, blocks + 1):
+            name = f"block_{lvl}_{b}_right"
+            load_senorm_conv(params[name], name)
+    for v in (2, 3, 4):
+        load_senorm_conv(params[f"vision_{v}"]["conv"], f"vision_{v}.conv")
+    params["conv1x1"]["kernel"] = _t2j_conv(sd["conv1x1.weight"])
+    params["conv1x1"]["bias"] = sd["conv1x1.bias"]
+
+    rng = np.random.RandomState(1)
+    xin = rng.randn(1, 2, 32, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(xin)).numpy()
+    got = _nchw(model.apply({"params": params}, _cl(xin)))
+    # fp accumulation through 13 SE-norm blocks + x8 trilinear upsample
+    # leaves ~1% of logits within 1e-3 absolute; structural mismatches
+    # would be O(1) everywhere.
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=1.5e-3)
+
+
+@needs_ref
+def test_hdenseformer_2d_parity():
+    add_reference_to_path()
+    from models.HDenseFormer_2D import HDenseFormer_2D as Ref2D
+
+    from hdenseformer_tpu.models.hdenseformer import HDenseFormer
+
+    torch.manual_seed(0)
+    in_ch, nf, depth = 3, 4, 8
+    size = (32, 32)
+    ref = Ref2D(in_channels=in_ch, n_cls=2, n_filters=nf, image_size=size,
+                transformer_depth=depth).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = HDenseFormer(in_channels=in_ch, n_cls=2, n_filters=nf,
+                         image_size=size, transformer_depth=depth)
+    x = jnp.zeros((1,) + size + (in_ch,))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    attns = params["attns"]
+
+    def stack(fn):
+        return np.stack([fn(m) for m in range(in_ch)])
+
+    attns["patch_embed"]["kernel"] = stack(
+        lambda m: _t2j_conv(sd[f"attns.{m}.patch_embeddings.weight"]))
+    attns["patch_embed"]["bias"] = stack(lambda m: sd[f"attns.{m}.patch_embeddings.bias"])
+    attns["pos_embed"] = stack(lambda m: sd[f"attns.{m}.position_embeddings"][0])
+    for i in range(depth // 4):
+        blk = attns[f"block_{i}"]
+        for j in range(4):
+            base = f"blocks.{i}.0.layers.{j}"
+            blk[f"squeeze_{j}"]["kernel"] = stack(lambda m: sd[f"attns.{m}.{base}.0.weight"].T)
+            blk[f"squeeze_{j}"]["bias"] = stack(lambda m: sd[f"attns.{m}.{base}.0.bias"])
+            blk[f"attn_norm_{j}"]["scale"] = stack(lambda m: sd[f"attns.{m}.{base}.1.norm.weight"])
+            blk[f"attn_norm_{j}"]["bias"] = stack(lambda m: sd[f"attns.{m}.{base}.1.norm.bias"])
+            blk[f"attn_{j}"]["to_qkv"]["kernel"] = stack(lambda m: sd[f"attns.{m}.{base}.1.fn.to_qkv.weight"].T)
+            blk[f"attn_{j}"]["to_out"]["kernel"] = stack(lambda m: sd[f"attns.{m}.{base}.1.fn.to_out.0.weight"].T)
+            blk[f"attn_{j}"]["to_out"]["bias"] = stack(lambda m: sd[f"attns.{m}.{base}.1.fn.to_out.0.bias"])
+            blk[f"ff_norm_{j}"]["scale"] = stack(lambda m: sd[f"attns.{m}.{base}.2.norm.weight"])
+            blk[f"ff_norm_{j}"]["bias"] = stack(lambda m: sd[f"attns.{m}.{base}.2.norm.bias"])
+            blk[f"ff_{j}"]["fc1"]["kernel"] = stack(lambda m: sd[f"attns.{m}.{base}.2.fn.net.0.weight"].T)
+            blk[f"ff_{j}"]["fc1"]["bias"] = stack(lambda m: sd[f"attns.{m}.{base}.2.fn.net.0.bias"])
+            blk[f"ff_{j}"]["fc2"]["kernel"] = stack(lambda m: sd[f"attns.{m}.{base}.2.fn.net.3.weight"].T)
+            blk[f"ff_{j}"]["fc2"]["bias"] = stack(lambda m: sd[f"attns.{m}.{base}.2.fn.net.3.bias"])
+        blk["out_layer"]["fc1"]["kernel"] = stack(lambda m: sd[f"attns.{m}.blocks.{i}.0.out_layer.net.0.weight"].T)
+        blk["out_layer"]["fc1"]["bias"] = stack(lambda m: sd[f"attns.{m}.blocks.{i}.0.out_layer.net.0.bias"])
+        blk["out_layer"]["fc2"]["kernel"] = stack(lambda m: sd[f"attns.{m}.blocks.{i}.0.out_layer.net.3.weight"].T)
+        blk["out_layer"]["fc2"]["bias"] = stack(lambda m: sd[f"attns.{m}.blocks.{i}.0.out_layer.net.3.bias"])
+
+    for name in ["deep_conv", "up1", "up2", "up3"]:
+        params[name]["conv"]["kernel"] = _t2j_conv(sd[f"{name}.double_conv.0.weight"])
+        params[name]["conv"]["bias"] = sd[f"{name}.double_conv.0.bias"]
+    for name in [f"block_{a}_{b}_{side}" for a in (1, 2, 3, 4) for b in (1, 2)
+                 for side in ("left", "right") if not (a == 4 and side == "right")]:
+        params[name]["conv"]["kernel"] = _t2j_conv(sd[f"{name}.conv.weight"])
+        params[name]["norm"]["scale"] = sd[f"{name}.norm.weight"]
+        params[name]["norm"]["bias"] = sd[f"{name}.norm.bias"]
+    for k in (1, 2, 3):
+        params[f"upconv_{k}"]["kernel"] = _t2j_convT(sd[f"upconv_{k}.weight"])
+        params[f"upconv_{k}"]["bias"] = sd[f"upconv_{k}.bias"]
+    for ours, theirs in [("head", "conv1x1"), ("head_d1", "conv1x1_d1"),
+                         ("head_d2", "conv1x1_d2"), ("head_d3", "conv1x1_d3")]:
+        params[ours]["kernel"] = _t2j_conv(sd[f"{theirs}.weight"])
+        params[ours]["bias"] = sd[f"{theirs}.bias"]
+
+    rng = np.random.RandomState(2)
+    xin = rng.randn(1, in_ch, *size).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = [o.numpy() for o in ref(torch.from_numpy(xin))]
+    got_outs = model.apply({"params": params}, _cl(xin))
+    for r, g in zip(ref_outs, got_outs):
+        np.testing.assert_allclose(_nchw(g), r, rtol=2e-3, atol=2e-4)
