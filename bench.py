@@ -16,7 +16,13 @@ import time
 
 VOL = (144, 144, 144)
 CHANNELS = 2
-BATCH = 2
+# Best measured single-chip configuration (see /tmp remat experiment,
+# recorded in PARITY.md): rematerialization OFF fits batch 1 in 16GB HBM
+# and runs 40% faster per volume than remat-on batch 2
+# (0.425 s/step vs 1.195 s/step for 2). Larger batches come from data
+# parallelism across chips, not per-chip batch.
+BATCH = 1
+REMAT = False
 DEPTH = 24
 STEPS = 8
 
@@ -42,6 +48,7 @@ def main():
         input_shape=VOL,
         transformer_depth=DEPTH,
         dtype=jnp.bfloat16,
+        remat=REMAT,
     )
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((BATCH,) + VOL + (CHANNELS,), jnp.float32)

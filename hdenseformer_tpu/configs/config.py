@@ -89,6 +89,7 @@ class ExperimentConfig:
     use_fp16: bool = True  # bf16 compute on TPU
     use_ds: Optional[bool] = None  # None -> auto by net name
     use_pallas: Optional[bool] = None  # None=auto: Pallas kernels on TPU
+    remat: bool = True  # rematerialize model blocks (needed for 144^3 batch>=2/chip)
     seed: int = 0
 
     # augmentation selections (same indexing as trainer.py:128-176)
@@ -170,6 +171,7 @@ class ExperimentConfig:
             key_touple=self.keys,
             seed=self.seed,
             use_pallas=self.use_pallas,
+            remat=self.remat,
         )
 
     def setup_trainer_kwargs(self) -> dict:

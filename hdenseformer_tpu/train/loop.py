@@ -221,6 +221,7 @@ class SemanticSeg:
         seed=0,
         use_pallas=None,
         device_augment=False,
+        remat=True,
     ):
         self.net_name = net_name
         self.encoder_name = encoder_name
@@ -271,6 +272,7 @@ class SemanticSeg:
             encoder_name=encoder_name,
             dtype=compute_dtype,
             use_pallas=use_pallas,
+            remat=remat,
         )
 
         # indexed transform tables, numbering identical to trainer.py:128-176

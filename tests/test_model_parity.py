@@ -96,6 +96,73 @@ def test_hecktor20top1_parity():
 
 
 @needs_ref
+def test_daunet_parity():
+    add_reference_to_path()
+    from models.DAUNet import da_unet as ref_da_unet
+
+    from hdenseformer_tpu.models.daunet import da_unet
+
+    torch.manual_seed(0)
+    size = 32
+    ref = ref_da_unet(init_depth=size, n_channels=1, n_classes=2).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+          if "num_batches_tracked" not in k}
+
+    model = da_unet(init_depth=size, n_channels=1, n_classes=2)
+    x = jnp.zeros((1, size, size, size, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    batch_stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def load_bn(ptree, btree, prefix):
+        # our BatchNorm nests a flax BatchNorm module named 'BatchNorm_0'
+        inner_p = ptree["BatchNorm_0"]
+        inner_b = btree["BatchNorm_0"]
+        inner_p["scale"] = sd[f"{prefix}.weight"]
+        inner_p["bias"] = sd[f"{prefix}.bias"]
+        inner_b["mean"] = sd[f"{prefix}.running_mean"]
+        inner_b["var"] = sd[f"{prefix}.running_var"]
+
+    def load_double(pname, bname, ref_prefix, conv_names=("conv1", "conv2"),
+                    bn_names=("bn1", "bn2"), da=False):
+        pt, bt = params[pname], batch_stats[pname]
+        for cn, refc in zip(("conv1", "conv2"), conv_names):
+            pt[cn]["kernel"] = _t2j_conv(sd[f"{ref_prefix}.{refc}.weight"])
+            pt[cn]["bias"] = sd[f"{ref_prefix}.{refc}.bias"]
+        for bn, refb in zip(("bn1", "bn2"), bn_names):
+            load_bn(pt[bn], bt[bn], f"{ref_prefix}.{refb}")
+        if da:
+            pt["da"]["fc1"]["kernel"] = sd[f"{ref_prefix}.da.fc.0.weight"].T
+            pt["da"]["fc1"]["bias"] = sd[f"{ref_prefix}.da.fc.0.bias"]
+            pt["da"]["fc2"]["kernel"] = sd[f"{ref_prefix}.da.fc.2.weight"].T
+            pt["da"]["fc2"]["bias"] = sd[f"{ref_prefix}.da.fc.2.bias"]
+
+    # stem: plain DoubleConv (Sequential indices 0,3 convs / 1,4 bns)
+    pt, bt = params["inc"], batch_stats["inc"]
+    pt["conv1"]["kernel"] = _t2j_conv(sd["inc.double_conv.0.weight"])
+    pt["conv1"]["bias"] = sd["inc.double_conv.0.bias"]
+    pt["conv2"]["kernel"] = _t2j_conv(sd["inc.double_conv.3.weight"])
+    pt["conv2"]["bias"] = sd["inc.double_conv.3.bias"]
+    load_bn(pt["bn1"], bt["bn1"], "inc.double_conv.1")
+    load_bn(pt["bn2"], bt["bn2"], "inc.double_conv.4")
+
+    for k in (1, 2, 3, 4):
+        load_double(f"down{k}", None, f"down{k}.maxpool_conv.1", da=True)
+        load_double(f"up{k}", None, f"up{k}.conv", da=True)
+    params["outc"]["kernel"] = _t2j_conv(sd["outc.conv.weight"])
+    params["outc"]["bias"] = sd["outc.conv.bias"]
+
+    rng = np.random.RandomState(3)
+    xin = rng.randn(1, 1, size, size, size).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(xin)).numpy()
+    got = _nchw(
+        model.apply({"params": params, "batch_stats": batch_stats}, _cl(xin))
+    )
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=5e-4)
+
+
+@needs_ref
 def test_hdenseformer_2d_parity():
     add_reference_to_path()
     from models.HDenseFormer_2D import HDenseFormer_2D as Ref2D
