@@ -53,6 +53,41 @@ def main():
             )
         )
 
+    # fused InstanceNorm+ReLU at the model's full-res shape (144^3 x 32ch)
+    from hdenseformer_tpu.ops.instance_norm import (
+        fused_instance_norm_relu,
+        xla_instance_norm_relu,
+    )
+
+    n, s, c = 1, 144 * 144 * 144, 32
+    x = jnp.asarray(rng.randn(n, s, c).astype(np.float32))
+    scale = jnp.ones((c,), jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+
+    def xla_in(a, _k, _v):
+        return xla_instance_norm_relu(a.reshape(n, s, 1, c), scale, bias).reshape(n, s, c)
+
+    def pallas_in(a, _k, _v):
+        return fused_instance_norm_relu(a, scale, bias, block_s=32768)
+
+    xla_t = timeit(jax.jit(xla_in), x, x, x, iters=20)
+    try:
+        pallas_t = timeit(jax.jit(pallas_in), x, x, x, iters=20)
+    except Exception:
+        pallas_t = None
+    print(
+        json.dumps(
+            {
+                "kernel": "instance_norm_relu",
+                "shape": "144^3x32ch",
+                "xla_us": round(xla_t * 1e6, 1),
+                "pallas_us": round(pallas_t * 1e6, 1) if pallas_t else None,
+                "speedup": round(xla_t / pallas_t, 2) if pallas_t else None,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

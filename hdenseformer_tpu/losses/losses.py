@@ -172,6 +172,12 @@ def focal_loss(
     """
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     target = target.astype(jnp.float32)
+    # gradient safety: d/dp of -log(1-p) is -1/(1-p), which explodes as the
+    # model saturates (p -> 1 in fp32 underflows 1-p to 0 and NaNs the
+    # backward pass — observed in bf16 training once dice > 0.9). Clipping
+    # bounds the gradient at 1e7 while leaving the forward value in the
+    # already-log-clamped regime.
+    probs = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
     log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
     log_1p = jnp.maximum(jnp.log(1.0 - probs), _LOG_CLAMP)
     ce = -(target * log_p + (1.0 - target) * log_1p)
