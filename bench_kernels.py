@@ -68,7 +68,7 @@ def main():
         return xla_instance_norm_relu(a.reshape(n, s, 1, c), scale, bias).reshape(n, s, c)
 
     def pallas_in(a, _k, _v):
-        return fused_instance_norm_relu(a, scale, bias, block_s=32768)
+        return fused_instance_norm_relu(a, scale, bias, block_s=4096)
 
     xla_t = timeit(jax.jit(xla_in), x, x, x, iters=20)
     try:

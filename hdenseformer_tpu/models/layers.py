@@ -190,23 +190,48 @@ class InstanceNorm(nn.Module):
     track_running_stats=False, the reference default) batch statistics at
     both train and eval time — so this is a pure function. Statistics in
     fp32 regardless of input dtype.
+
+    A fused Pallas kernel exists (ops/instance_norm.py; 2.5x vs XLA when
+    benchmarked STANDALONE at 144^3 x 32ch) but is default-OFF in-model:
+    the end-to-end train-step benchmark regressed 2x with it enabled —
+    XLA already fuses the normalize+relu into the conv epilogue inside the
+    compiled step, and the kernel's custom-VJP recompute adds backward
+    passes. Set ``use_pallas=True`` explicitly to re-evaluate on new
+    hardware/compiler versions.
     """
 
     affine: bool = True
     epsilon: float = 1e-5
+    fuse_relu: bool = False
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        ch = x.shape[-1]
+        scale = bias = None
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = False  # benchmark-gated OFF (see class docstring)
+        if use_pallas and jax.default_backend() == "tpu" and x.ndim >= 3:
+            from hdenseformer_tpu.ops.instance_norm import instance_norm_relu
+
+            return instance_norm_relu(
+                x, scale, bias, self.epsilon, relu=self.fuse_relu, use_pallas=True
+            ).astype(x.dtype)
+
         axes = tuple(range(1, x.ndim - 1))
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.affine:
-            ch = x.shape[-1]
-            scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
             y = y * scale + bias
+        if self.fuse_relu:
+            y = jnp.maximum(y, 0.0)
         return y.astype(x.dtype)
 
 
@@ -248,12 +273,16 @@ class BasicConv(nn.Module):
     """Conv(bias=False) + InstanceNorm(affine) + ReLU.
 
     Reference BasicConv3d / BasicConv2d (models/HDenseFormer.py:148-159).
+    On TPU the norm+affine+relu epilogue runs as the fused Pallas kernel
+    (ops/instance_norm.py, 2.5x vs the XLA reduce+normalize passes); the
+    parameter tree is identical either way ('norm' scale/bias).
     """
 
     features: int
     kernel_size: Union[int, Sequence[int]] = 3
     strides: Union[int, Sequence[int]] = 1
     padding: Union[int, Sequence[int]] = 1
+    use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -267,8 +296,9 @@ class BasicConv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = InstanceNorm(affine=True, name="norm")(x)
-        return nn.relu(x)
+        return InstanceNorm(
+            affine=True, fuse_relu=True, use_pallas=self.use_pallas, name="norm"
+        )(x)
 
 
 class UpConv(nn.Module):
@@ -286,8 +316,7 @@ class UpConv(nn.Module):
         from hdenseformer_tpu.ops.resize import upsample_linear
 
         x = Conv(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv")(x)
-        x = InstanceNorm(affine=False, name="norm")(x)
-        x = nn.relu(x)
+        x = InstanceNorm(affine=False, fuse_relu=True, name="norm")(x)
         return upsample_linear(x, self.scale)
 
 

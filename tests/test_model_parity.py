@@ -236,3 +236,103 @@ def test_hdenseformer_2d_parity():
     got_outs = model.apply({"params": params}, _cl(xin))
     for r, g in zip(ref_outs, got_outs):
         np.testing.assert_allclose(_nchw(g), r, rtol=2e-3, atol=2e-4)
+
+
+@needs_ref
+def test_transbts_parity():
+    add_reference_to_path()
+    from models.TransBTS.TransBTS_downsample8x_skipconnection import TransBTS as RefFactory
+
+    from hdenseformer_tpu.models.transbts import TransBTSModel
+
+    torch.manual_seed(0)
+    img_dim = 32
+    _, ref = RefFactory(n_channels=2, num_classes=2, img_dim=img_dim,
+                        _conv_repr=True, _pe_type="learned")
+    ref = ref.eval()
+    # the reference's InitConv calls F.dropout3d with torch's functional
+    # default training=True, i.e. dropout stays ACTIVE in eval
+    # (Unet_skipconnection.py:30) — a documented bug we gate on `train`.
+    # Disable it for a deterministic comparison.
+    ref.Unet.InitConv.dropout = 0.0
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+          if "num_batches_tracked" not in k}
+
+    model = TransBTSModel(n_channels=2, num_classes=2, img_dim=img_dim)
+    x = jnp.zeros((1, img_dim, img_dim, img_dim, 2))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    bstats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def bn(ptree, btree, prefix):
+        inner_p = ptree["BatchNorm_0"]
+        inner_b = btree["BatchNorm_0"]
+        inner_p["scale"] = sd[f"{prefix}.weight"]
+        inner_p["bias"] = sd[f"{prefix}.bias"]
+        inner_b["mean"] = sd[f"{prefix}.running_mean"]
+        inner_b["var"] = sd[f"{prefix}.running_var"]
+
+    def gn(tree, prefix):
+        tree["GroupNorm_0"]["scale"] = sd[f"{prefix}.weight"]
+        tree["GroupNorm_0"]["bias"] = sd[f"{prefix}.bias"]
+
+    def conv(tree, prefix):
+        tree["kernel"] = _t2j_conv(sd[f"{prefix}.weight"])
+        if f"{prefix}.bias" in sd:
+            tree["bias"] = sd[f"{prefix}.bias"]
+
+    # UNet encoder
+    U = params["Unet"]
+    conv(U["InitConv"], "Unet.InitConv.conv")
+    enblocks = (["EnBlock1", "EnBlock2_1", "EnBlock2_2", "EnBlock3_1", "EnBlock3_2"]
+                + [f"EnBlock4_{i}" for i in range(1, 5)])
+    for name in enblocks:
+        gn(U[name]["bn1"], f"Unet.{name}.bn1")
+        gn(U[name]["bn2"], f"Unet.{name}.bn2")
+        conv(U[name]["conv1"], f"Unet.{name}.conv1")
+        conv(U[name]["conv2"], f"Unet.{name}.conv2")
+    for k in (1, 2, 3):
+        conv(U[f"EnDown{k}"], f"Unet.EnDown{k}.conv")
+
+    # bottleneck
+    bn(params["bn"], bstats["bn"], "bn")
+    conv(params["conv_x"], "conv_x")
+    params["position_embeddings"] = sd["position_encoding.position_embeddings"][0]
+    for i in range(4):
+        base_a = f"transformer.net.{2*i}.fn.fn"       # Residual(PreNormDrop(attn))
+        base_f = f"transformer.net.{2*i+1}.fn.fn"     # Residual(PreNorm(ff))
+        params[f"attn_norm_{i}"]["scale"] = sd[f"transformer.net.{2*i}.fn.norm.weight"]
+        params[f"attn_norm_{i}"]["bias"] = sd[f"transformer.net.{2*i}.fn.norm.bias"]
+        params[f"attn_{i}"]["qkv"]["kernel"] = sd[f"{base_a}.qkv.weight"].T
+        params[f"attn_{i}"]["proj"]["kernel"] = sd[f"{base_a}.proj.weight"].T
+        params[f"attn_{i}"]["proj"]["bias"] = sd[f"{base_a}.proj.bias"]
+        params[f"ff_norm_{i}"]["scale"] = sd[f"transformer.net.{2*i+1}.fn.norm.weight"]
+        params[f"ff_norm_{i}"]["bias"] = sd[f"transformer.net.{2*i+1}.fn.norm.bias"]
+        params[f"ff_fc1_{i}"]["kernel"] = sd[f"{base_f}.net.0.weight"].T
+        params[f"ff_fc1_{i}"]["bias"] = sd[f"{base_f}.net.0.bias"]
+        params[f"ff_fc2_{i}"]["kernel"] = sd[f"{base_f}.net.3.weight"].T
+        params[f"ff_fc2_{i}"]["bias"] = sd[f"{base_f}.net.3.bias"]
+
+    # decoder
+    for blk, our in [("Enblock8_1", "Enblock8_1"), ("Enblock8_2", "Enblock8_2")]:
+        conv(params[f"{our}_conv1"], f"{blk}.conv1")
+        conv(params[f"{our}_conv2"], f"{blk}.conv2")
+        bn(params[f"{our}_bn1"], bstats[f"{our}_bn1"], f"{blk}.bn1")
+        bn(params[f"{our}_bn2"], bstats[f"{our}_bn2"], f"{blk}.bn2")
+    for k in (4, 3, 2):
+        conv(params[f"DeUp{k}_conv1"], f"DeUp{k}.conv1")
+        params[f"DeUp{k}_conv2"]["kernel"] = _t2j_convT(sd[f"DeUp{k}.conv2.weight"])
+        params[f"DeUp{k}_conv2"]["bias"] = sd[f"DeUp{k}.conv2.bias"]
+        conv(params[f"DeUp{k}_conv3"], f"DeUp{k}.conv3")
+        conv(params[f"DeBlock{k}_conv1"], f"DeBlock{k}.conv1")
+        conv(params[f"DeBlock{k}_conv2"], f"DeBlock{k}.conv2")
+        bn(params[f"DeBlock{k}_bn1"], bstats[f"DeBlock{k}_bn1"], f"DeBlock{k}.bn1")
+        bn(params[f"DeBlock{k}_bn2"], bstats[f"DeBlock{k}_bn2"], f"DeBlock{k}.bn2")
+    conv(params["endconv"], "endconv")
+
+    rng = np.random.RandomState(4)
+    xin = rng.randn(1, 2, img_dim, img_dim, img_dim).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(xin)).numpy()
+    got = _nchw(model.apply({"params": params, "batch_stats": bstats}, _cl(xin)))
+    np.testing.assert_allclose(got, ref_out, rtol=2e-3, atol=1e-3)
