@@ -119,8 +119,36 @@ def make_train_step(criterion, num_classes: int, augment_fn=None):
     batched augmentation pipeline runs INSIDE the compiled step on device
     (data/augment_jax.py) — the host only ships raw voxels.
     """
+    return partial(jax.jit, donate_argnums=(0,))(
+        _train_step_fn(criterion, num_classes, augment_fn)
+    )
+
+
+def make_multi_train_step(criterion, num_classes: int, augment_fn=None):
+    """Scan-of-steps: run K chained optimizer steps in ONE device dispatch.
+
+    Takes a super-batch whose leaves have a leading step axis K
+    ({'image': (K, B, ...), 'label': (K, B, ...)}) and scans the train
+    step over it. One dispatch per K steps amortizes host/runtime launch
+    overhead (~20% of the 0.43s step on this setup) and lets XLA overlap
+    the steps' epilogues. Returns (state, stacked metrics).
+    """
+    single = _train_step_fn(criterion, num_classes, augment_fn)
 
     @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches: Dict, dropout_rng: jax.Array):
+        def body(st, batch):
+            st, m = single(st, batch, dropout_rng)
+            return st, m
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
+def _train_step_fn(criterion, num_classes: int, augment_fn=None):
+    """Un-jitted train step body (shared by single and scanned variants)."""
+
     def train_step(state: TrainState, batch: Dict, dropout_rng: jax.Array):
         rng = jax.random.fold_in(dropout_rng, state.step)
         if augment_fn is not None:
