@@ -30,7 +30,16 @@ def save_checkpoint(
     step: int = 0,
     model_state: Any = None,
     extra: Optional[Dict] = None,
+    async_save: bool = False,
 ) -> None:
+    """Serialize a training snapshot.
+
+    ``async_save=True`` performs the device->host transfer synchronously
+    (cheap) but serialization + disk write on a background thread so the
+    train loop is not blocked on IO (the orbax-style async pattern,
+    SURVEY.md §5.3); call ``wait_for_async_saves()`` before reading the
+    files back.
+    """
     payload = {
         "epoch": np.int64(epoch),
         "step": np.int64(step),
@@ -43,8 +52,30 @@ def save_checkpoint(
     if extra:
         payload["extra"] = extra
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
+
+    def _write():
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)
+
+    if async_save:
+        import threading
+
+        t = threading.Thread(target=_write, daemon=True)
+        t.start()
+        _ASYNC_SAVES.append(t)
+    else:
+        _write()
+
+
+_ASYNC_SAVES: list = []
+
+
+def wait_for_async_saves() -> None:
+    """Join all outstanding async checkpoint writes."""
+    while _ASYNC_SAVES:
+        _ASYNC_SAVES.pop().join()
 
 
 def load_checkpoint(path: str, template: Optional[Dict] = None) -> Dict:

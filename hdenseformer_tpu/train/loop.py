@@ -516,12 +516,16 @@ class SemanticSeg:
                 save_checkpoint(
                     save_path, state.params, state.opt_state, epoch,
                     int(state.step), model_state=state.model_state,
+                    async_save=True,
                 )
             if early_stopping.early_stop:
                 print("Early stopping")
                 break
 
         writer.close()
+        from hdenseformer_tpu.train.checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()
         dfs_remove_weight(output_dir, retain=3)
         self.state = state
         return history

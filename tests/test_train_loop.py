@@ -195,3 +195,54 @@ def test_train_step_multi_device(tmp_path):
         n_devices=len(jax.devices()),
     )
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_brats_style_multiclass_training(tmp_path):
+    """BASELINE config 3: 4-modality multiclass (CEPlusDice) end to end."""
+    paths = make_dataset_dir(
+        str(tmp_path / "data"), n_cases=4, shape=(16, 16, 16), channels=4,
+        num_classes=4, img_key="image", lab_key="label",
+    )
+    seg = SemanticSeg(
+        net_name="HDenseFormer_16",
+        lr=1e-3,
+        n_epoch=2,
+        channels=4,
+        num_classes=4,
+        roi_number=None,
+        input_shape=(16, 16, 16),
+        crop=0,
+        batch_size=2,
+        num_workers=2,
+        transform_3d=[1, 5, 6],  # crop/flip/one-hot (no PET/CT norm for MR)
+        transformer_depth=8,
+        use_fp16=False,
+        patch_size=(16, 16, 16),
+        key_touple=("image", "label"),
+    )
+    history = seg.trainer(
+        train_path=paths[:2],
+        val_path=paths[2:],
+        cur_fold=1,
+        output_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "log"),
+        optimizer="Adam",
+        loss_fun="CEPlusDice",
+        lr_scheduler="poly_lr",
+        use_ds=True,
+        n_devices=1,
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train_loss"])
+    assert history["train_loss"][-1] < history["train_loss"][0]
+
+
+def test_async_checkpoint(tmp_path):
+    from hdenseformer_tpu.train.checkpoint import wait_for_async_saves
+
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    path = os.path.join(str(tmp_path), "f", metric_filename(1, 0, 0, 0, 0, 0, 0))
+    save_checkpoint(path, params, epoch=1, async_save=True)
+    wait_for_async_saves()
+    restored = load_checkpoint(path)
+    np.testing.assert_array_equal(restored["params"]["w"], np.arange(4, dtype=np.float32))
