@@ -22,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="hdenseformer_tpu")
     p.add_argument(
         "-m", "--mode", default="train-cross",
-        choices=["train", "train-cross", "inf-sw", "eval", "convert"],
+        choices=["train", "train-cross", "inf-sw", "predict-2d", "eval", "convert"],
     )
     p.add_argument("--dataset", default="Hecktor21")
     p.add_argument("--net", dest="net_name", default=None)
@@ -79,7 +79,8 @@ def make_config(args):
         overrides["use_fp16"] = False
     if args.input_shape:
         overrides["input_shape"] = tuple(args.input_shape)
-        overrides["patch_size"] = tuple(args.input_shape)
+        if len(args.input_shape) == 3:
+            overrides["patch_size"] = tuple(args.input_shape)
     if args.step_size:
         overrides["step_size"] = tuple(args.step_size)
     if args.transformer_depth:
@@ -166,12 +167,39 @@ def run_inference(cfg, args):
         print(f"run time:{time.time() - t0:.4f}")
 
 
+def run_predict_2d(cfg, args):
+    """Per-slice 2D volumetric prediction (working eval.py replacement)."""
+    from hdenseformer_tpu.infer.slices import eval_dir_2d
+    from hdenseformer_tpu.train.checkpoint import get_weight_path
+    from hdenseformer_tpu.train.loop import SemanticSeg
+
+    ckpt_dir = os.path.join(cfg.output_dir, f"fold{cfg.current_fold}")
+    weight_path = get_weight_path(ckpt_dir)
+    if weight_path is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    kwargs = cfg.init_trainer_kwargs()
+    kwargs["weight_path"] = weight_path
+    kwargs["pre_trained"] = True
+    seg = SemanticSeg(**kwargs)
+    state = seg.build_state()
+    state = seg.load_pretrained(state, weight_path, ckpt_point=False)
+    save_path = args.save_path or os.path.join(
+        cfg.save_root, "2d", cfg.version, f"fold{cfg.current_fold}"
+    )
+    written = eval_dir_2d(
+        seg.model, state.variables(), args.test_path or cfg.test_path, save_path,
+        input_shape=cfg.input_shape, num_classes=cfg.num_classes,
+        channels=cfg.channels, img_key=cfg.keys[0], lab_key=cfg.keys[1],
+    )
+    print(f"wrote {len(written)} prediction volumes to {save_path}")
+
+
 def run_eval(cfg, args):
     """Offline eval: predicted .npy vs ground truth -> per-case metric CSV."""
     import glob
 
     from hdenseformer_tpu.data.io import hdf5_reader
-    from hdenseformer_tpu.metrics import multi_dice, multi_hd, multi_jc, multi_vs
+    from hdenseformer_tpu.metrics import multi_asd, multi_dice, multi_hd, multi_jc, multi_vs
 
     pred_dir = args.save_path
     gt_dir = args.test_path or cfg.test_path
@@ -188,9 +216,10 @@ def run_eval(cfg, args):
         hd_list, mean_hd = multi_hd(gt, pred, n_fg)
         jc_list, mean_jc = multi_jc(gt, pred, n_fg)
         vs_list, mean_vs = multi_vs(gt, pred, n_fg)
+        asd_list, mean_asd = multi_asd(gt, pred, n_fg)
         rows.append(
             dict(case=case, dice=mean_dice, hd95=mean_hd, jaccard=mean_jc,
-                 vs=mean_vs, dice_list=dice_list, hd_list=hd_list)
+                 vs=mean_vs, asd=mean_asd, dice_list=dice_list, hd_list=hd_list)
         )
         print(f"{case}: dice={mean_dice} hd95={mean_hd}")
     out_csv = os.path.join(pred_dir, "eval_results.json")
@@ -223,6 +252,8 @@ def main(argv=None):
         run_train(cfg, [cfg.current_fold])
     elif args.mode == "inf-sw":
         run_inference(cfg, args)
+    elif args.mode == "predict-2d":
+        run_predict_2d(cfg, args)
     elif args.mode == "eval":
         run_eval(cfg, args)
 

@@ -304,8 +304,12 @@ class SemanticSeg:
         )
 
         # indexed transform tables, numbering identical to trainer.py:128-176
+        # (the 3D table only exists for 3-d patch sizes; 2D runs never
+        # index it — guards against 2-d --input-shape flowing into
+        # RandomCrop3D like in the reference's always-built lists)
+        patch3d = self.patch_size if len(self.patch_size) == 3 else (1, 1, 1)
         self.transform_list_3d = [
-            RandomCrop3D(self.patch_size),  # 1
+            RandomCrop3D(patch3d),  # 1
             PETandCTNormalize(),  # 2
             CropResize(dim=self.input_shape, num_class=num_classes, crop=crop, channel=channels),  # 3
             RandomTranslationRotationZoom3D(mode="tr", num_class=num_classes),  # 4
