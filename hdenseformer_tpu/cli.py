@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transformer-depth", type=int, default=None)
     p.add_argument("--folds", type=int, default=None, help="number of CV folds")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the first training epoch into DIR")
     # convert mode
     p.add_argument("--convert-format", choices=["hecktor", "brats"], default="hecktor")
     p.add_argument("--input-dir", default=None)
@@ -133,12 +135,15 @@ def run_train(cfg, folds):
         )
         print("Train set length", len(train_path), "Val set length", len(val_path))
         t0 = time.time()
-        seg.trainer(
-            train_path=train_path,
-            val_path=val_path,
-            cur_fold=current_fold,
-            **cfg.setup_trainer_kwargs(),
-        )
+        from hdenseformer_tpu.utils.profiling import profiler_trace
+
+        with profiler_trace(getattr(cfg, "profile_dir", None)):
+            seg.trainer(
+                train_path=train_path,
+                val_path=val_path,
+                cur_fold=current_fold,
+                **cfg.setup_trainer_kwargs(),
+            )
         print(f"run time:{time.time() - t0:.4f}")
 
 
@@ -246,6 +251,7 @@ def main(argv=None):
         run_convert(args)
         return
     cfg = make_config(args)
+    cfg.profile_dir = args.profile  # type: ignore[attr-defined]
     if args.mode == "train-cross":
         run_train(cfg, range(1, cfg.fold_num + 1))
     elif args.mode == "train":

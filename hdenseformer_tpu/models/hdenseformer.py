@@ -233,15 +233,24 @@ class HDenseFormer(nn.Module):
         nf = self.n_filters
         dt = self.dtype
         # rematerialization: at 144^3 the stored conv activations exceed a
-        # single chip's HBM for the backward pass; checkpointing each block
-        # trades one recompute for per-level instead of per-layer residency.
-        if self.remat:
-            BasicConvM = nn.remat(BasicConv)
+        # single chip's HBM for the backward pass at batch >= 2;
+        # remat=True checkpoints every block (fits batch 2, ~2.8x step
+        # time), remat="encoder" checkpoints only the encoder/up-path
+        # (middle ground), remat=False stores everything (fastest; fits
+        # batch 1 at 144^3 on 16GB).
+        if self.remat is True:
+            BasicConvM = BasicConvEnc = nn.remat(BasicConv)
             UpConvM = nn.remat(UpConv)
             ConvTransposeM = nn.remat(ConvTranspose)
             TransBlock = nn.remat(DenseTransformerBlock, static_argnums=(2,))
+        elif self.remat == "encoder":
+            BasicConvEnc = nn.remat(BasicConv)
+            UpConvM = nn.remat(UpConv)
+            TransBlock = nn.remat(DenseTransformerBlock, static_argnums=(2,))
+            BasicConvM, ConvTransposeM = BasicConv, ConvTranspose
         else:
-            BasicConvM, UpConvM, ConvTransposeM = BasicConv, UpConv, ConvTranspose
+            BasicConvM = BasicConvEnc = BasicConv
+            UpConvM, ConvTransposeM = UpConv, ConvTranspose
             TransBlock = DenseTransformerBlock
 
         # --- per-modality dense transformer paths, batched with vmap ------
@@ -275,17 +284,17 @@ class HDenseFormer(nn.Module):
         at3 = UpConvM(1 * nf, dtype=dt, name="up3")(at2)  # 1/1
 
         # --- UNet encoder with additive transformer fusion ----------------
-        ds0 = BasicConvM(nf, dtype=dt, name="block_1_1_left")(x)
-        ds0 = BasicConvM(nf, dtype=dt, name="block_1_2_left")(ds0)
+        ds0 = BasicConvEnc(nf, dtype=dt, name="block_1_1_left")(x)
+        ds0 = BasicConvEnc(nf, dtype=dt, name="block_1_2_left")(ds0)
         ds0 = ds0 + at3
-        ds1 = BasicConvM(2 * nf, dtype=dt, name="block_2_1_left")(max_pool(ds0))
-        ds1 = BasicConvM(2 * nf, dtype=dt, name="block_2_2_left")(ds1)
+        ds1 = BasicConvEnc(2 * nf, dtype=dt, name="block_2_1_left")(max_pool(ds0))
+        ds1 = BasicConvEnc(2 * nf, dtype=dt, name="block_2_2_left")(ds1)
         ds1 = ds1 + at2
-        ds2 = BasicConvM(4 * nf, dtype=dt, name="block_3_1_left")(max_pool(ds1))
-        ds2 = BasicConvM(4 * nf, dtype=dt, name="block_3_2_left")(ds2)
+        ds2 = BasicConvEnc(4 * nf, dtype=dt, name="block_3_1_left")(max_pool(ds1))
+        ds2 = BasicConvEnc(4 * nf, dtype=dt, name="block_3_2_left")(ds2)
         ds2 = ds2 + at1
-        y = BasicConvM(8 * nf, dtype=dt, name="block_4_1_left")(max_pool(ds2))
-        y = BasicConvM(8 * nf, dtype=dt, name="block_4_2_left")(y)
+        y = BasicConvEnc(8 * nf, dtype=dt, name="block_4_1_left")(max_pool(ds2))
+        y = BasicConvEnc(8 * nf, dtype=dt, name="block_4_2_left")(y)
         y = y + attnout
 
         # --- decoder with deep-supervision heads --------------------------
