@@ -76,20 +76,22 @@ def _origins_array(steps: list) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "patch_size", "num_classes", "use_gaussian"),
+    static_argnames=("apply_fn", "patch_size", "num_classes", "use_gaussian", "window_batch"),
 )
 def _accumulate_windows(
     apply_fn,
     variables,
     image: jax.Array,  # (D, H, W, C) device-resident
-    origins: jax.Array,  # (Nw, 3)
+    origins: jax.Array,  # (Nw, 3) — Nw must be a multiple of window_batch
     weights: jax.Array,  # (Nw,) 1.0 real window / 0.0 padding
     patch_size: Tuple[int, ...],
     num_classes: int,
     use_gaussian: bool = False,
     importance: Optional[jax.Array] = None,
+    window_batch: int = 1,
 ):
     spatial = image.shape[:-1]
+    nsp = len(patch_size)
     acc = jnp.zeros(spatial + (num_classes,), jnp.float32)
     cnt = jnp.zeros(spatial + (1,), jnp.float32)
     imp = (
@@ -97,22 +99,37 @@ def _accumulate_windows(
         if use_gaussian and importance is not None
         else jnp.ones(patch_size + (1,), jnp.float32)
     )
+    wb = window_batch
+    origins = origins.reshape(-1, wb, nsp)
+    weights = weights.reshape(-1, wb)
+
+    def gather_patch(origin):
+        start = tuple(origin[i] for i in range(nsp)) + (0,)
+        return jax.lax.dynamic_slice(image, start, patch_size + (image.shape[-1],))
 
     def body(carry, inp):
         acc, cnt = carry
-        origin, w = inp
-        start = tuple(origin[i] for i in range(len(patch_size))) + (0,)
-        patch = jax.lax.dynamic_slice(
-            image, start, patch_size + (image.shape[-1],)
-        )
-        outs = apply_fn(variables, patch[None], train=False)
+        origin_b, w_b = inp  # (wb, nsp), (wb,)
+        patches = jax.vmap(gather_patch)(origin_b)  # (wb, *patch, C)
+        outs = apply_fn(variables, patches, train=False)
         logits = outs[0] if isinstance(outs, (list, tuple)) else outs
-        probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
-        contrib = probs * imp * w
-        cur = jax.lax.dynamic_slice(acc, start, patch_size + (num_classes,))
-        acc = jax.lax.dynamic_update_slice(acc, cur + contrib, start)
-        cur_c = jax.lax.dynamic_slice(cnt, start, patch_size + (1,))
-        cnt = jax.lax.dynamic_update_slice(cnt, cur_c + imp * w, start)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        def scatter_one(carry, idx):
+            acc, cnt = carry
+            origin = origin_b[idx]
+            w = w_b[idx]
+            start = tuple(origin[i] for i in range(nsp)) + (0,)
+            contrib = probs[idx] * imp * w
+            cur = jax.lax.dynamic_slice(acc, start, patch_size + (num_classes,))
+            acc = jax.lax.dynamic_update_slice(acc, cur + contrib, start)
+            cur_c = jax.lax.dynamic_slice(cnt, start, patch_size + (1,))
+            cnt = jax.lax.dynamic_update_slice(cnt, cur_c + imp * w, start)
+            return (acc, cnt), None
+
+        (acc, cnt), _ = jax.lax.scan(
+            scatter_one, (acc, cnt), jnp.arange(wb)
+        )
         return (acc, cnt), None
 
     (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (origins, weights))
@@ -128,6 +145,7 @@ def predict_volume(
     num_classes: int,
     use_gaussian: bool = False,
     mesh=None,
+    window_batch: int = 1,
 ) -> np.ndarray:
     """Sliding-window class-probability map -> argmax labels (D, H, W)."""
     patch_size = tuple(patch_size)
@@ -145,13 +163,15 @@ def predict_volume(
     importance = (
         jnp.asarray(get_gaussian(patch_size)) if use_gaussian else None
     )
+    nsp = len(patch_size)
+    wb = max(1, window_batch)
+    n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    n_pad = (-len(origins)) % (n_dev * wb)
+    if n_pad:
+        origins = np.concatenate([origins, np.zeros((n_pad, nsp), np.int32)])
+        weights = np.concatenate([weights, np.zeros((n_pad,), np.float32)])
 
-    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
-        n_dev = int(np.prod(mesh.devices.shape))
-        n_pad = (-len(origins)) % n_dev
-        if n_pad:
-            origins = np.concatenate([origins, np.zeros((n_pad, 3), np.int32)])
-            weights = np.concatenate([weights, np.zeros((n_pad,), np.float32)])
+    if mesh is not None and n_dev > 1:
         from jax.experimental.shard_map import shard_map
 
         axis = mesh.axis_names[0]
@@ -159,7 +179,7 @@ def predict_volume(
         def sharded(variables, image, origins, weights):
             acc, cnt = _accumulate_windows(
                 model.apply, variables, image, origins, weights,
-                patch_size, num_classes, use_gaussian, importance,
+                patch_size, num_classes, use_gaussian, importance, wb,
             )
             return (
                 jax.lax.psum(acc, axis_name=axis),
@@ -178,7 +198,7 @@ def predict_volume(
     else:
         acc, cnt = _accumulate_windows(
             model.apply, variables, jnp.asarray(image_cl), jnp.asarray(origins),
-            jnp.asarray(weights), patch_size, num_classes, use_gaussian, importance,
+            jnp.asarray(weights), patch_size, num_classes, use_gaussian, importance, wb,
         )
 
     probs = acc / jnp.maximum(cnt, 1e-8)

@@ -96,3 +96,15 @@ def test_predict_volume_sharded_matches_single():
         model, {}, vol, (16, 16, 16), (8, 8, 8), 2, mesh=mesh
     )
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_predict_volume_window_batch_matches_single():
+    model = ArgmaxNet()
+    rng = np.random.RandomState(0)
+    vol = rng.randn(1, 32, 32, 32).astype(np.float32)
+    base = predict_volume(model, {}, vol, (16, 16, 16), (8, 8, 8), 2)
+    for wb in (2, 4, 5):
+        got = predict_volume(
+            model, {}, vol, (16, 16, 16), (8, 8, 8), 2, window_batch=wb
+        )
+        np.testing.assert_array_equal(base, got)
