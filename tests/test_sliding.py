@@ -108,3 +108,17 @@ def test_predict_volume_window_batch_matches_single():
             model, {}, vol, (16, 16, 16), (8, 8, 8), 2, window_batch=wb
         )
         np.testing.assert_array_equal(base, got)
+
+
+def test_predict_volume_gaussian_weighting_runs():
+    # gaussian importance weighting (live flag for the reference's dead code)
+    model = ArgmaxNet()
+    vol = np.zeros((1, 24, 24, 24), np.float32) - 1.0
+    vol[0, 6:18, 6:18, 6:18] = 1.0
+    uniform = predict_volume(model, {}, vol, (16, 16, 16), (8, 8, 8), 2)
+    gauss = predict_volume(
+        model, {}, vol, (16, 16, 16), (8, 8, 8), 2, use_gaussian=True
+    )
+    # the trivial-argmax model is weighting-invariant: same labels
+    np.testing.assert_array_equal(uniform, gauss)
+    np.testing.assert_array_equal(gauss, (vol[0] > 0).astype(np.int32))
