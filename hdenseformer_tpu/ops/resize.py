@@ -54,12 +54,55 @@ def resize_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
     return x
 
 
-def resize_linear(x: jax.Array, size: Sequence[int]) -> jax.Array:
-    """Bi/trilinear resize matching torch ``align_corners=False`` semantics."""
+def _halfpixel_matrix(in_len: int, out_len: int) -> np.ndarray:
+    """(out,in) linear-interp matrix with half-pixel centers (torch
+    align_corners=False): src = (dst + 0.5) * in/out - 0.5, edge-clamped."""
+    src = (np.arange(out_len, dtype=np.float64) + 0.5) * (in_len / out_len) - 0.5
+    src = np.clip(src, 0.0, in_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_len - 1)
+    frac = src - lo
+    A = np.zeros((out_len, in_len), np.float32)
+    A[np.arange(out_len), lo] += (1.0 - frac).astype(np.float32)
+    A[np.arange(out_len), hi] += frac.astype(np.float32)
+    return A
+
+
+def resize_linear_matrix(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Half-pixel linear resize as per-axis dense interpolation matmuls.
+
+    Identical math to ``resize_linear`` but lowered as (out,in) matmuls per
+    spatial axis, which ride the MXU instead of gather units — preferable
+    on TPU for the x2 upsampling chains.
+    """
+    size = _check_spatial(x, size)
+    for axis, out_len in enumerate(size):
+        in_len = x.shape[axis + 1]
+        if in_len == out_len:
+            continue
+        A = jnp.asarray(_halfpixel_matrix(in_len, out_len), x.dtype)
+        x = jnp.moveaxis(
+            jnp.tensordot(A, x, axes=[[1], [axis + 1]]), 0, axis + 1
+        )
+    return x
+
+
+def resize_linear(
+    x: jax.Array, size: Sequence[int], use_matrix: bool | None = None
+) -> jax.Array:
+    """Bi/trilinear resize matching torch ``align_corners=False`` semantics.
+
+    On TPU the matmul lowering (``resize_linear_matrix``) is used by
+    default; elsewhere ``jax.image.resize``. Both compute the same values.
+    """
     size = _check_spatial(x, size)
     out_shape = (x.shape[0],) + size + (x.shape[-1],)
     if out_shape == x.shape:
         return x
+    if use_matrix is None:
+        use_matrix = jax.default_backend() == "tpu"
+    if use_matrix:
+        return resize_linear_matrix(x, size)
     return jax.image.resize(x, out_shape, method="linear", antialias=False)
 
 

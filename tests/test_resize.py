@@ -68,3 +68,16 @@ def test_max_pool_matches_torch(rng):
     ref = F.max_pool3d(torch.from_numpy(x), 2, 2).numpy()
     got = to_nchw(max_pool(jnp.asarray(to_channels_last(x)), 2, 2))
     np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("in_size,out_size", [((8, 8, 8), (16, 16, 16)), ((5, 6, 7), (9, 9, 9)), ((8, 8, 8), (4, 4, 4)), ((12, 10), (24, 20))])
+def test_matrix_resize_matches_torch(rng, in_size, out_size):
+    from hdenseformer_tpu.ops.resize import resize_linear_matrix
+
+    x = rng.randn(2, 3, *in_size).astype(np.float32)
+    mode = "trilinear" if len(in_size) == 3 else "bilinear"
+    ref = F.interpolate(
+        torch.from_numpy(x), out_size, mode=mode, align_corners=False
+    ).numpy()
+    got = to_nchw(resize_linear_matrix(jnp.asarray(to_channels_last(x)), out_size))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
