@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the first training epoch into DIR")
+    # inf-sw mode
+    p.add_argument("--window-batch", type=int, default=4,
+                   help="sliding-window inference: windows per model call")
+    p.add_argument("--use-gaussian", action="store_true",
+                   help="gaussian importance weighting of window overlaps")
+    p.add_argument("--save-nii", action="store_true",
+                   help="also save predictions as .nii.gz volumes")
     # convert mode
     p.add_argument("--convert-format", choices=["hecktor", "brats"], default="hecktor")
     p.add_argument("--input-dir", default=None)
@@ -167,8 +174,17 @@ def run_inference(cfg, args):
             cfg.save_root, "3d", cfg.version, f"fold{current_fold}"
         )
         os.makedirs(save_path, exist_ok=True)
+        mesh = None
+        if cfg.n_devices and cfg.n_devices > 1:
+            from hdenseformer_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.n_devices)
         t0 = time.time()
-        seg.inference_slidingwindow(test_path, save_path)
+        seg.inference_slidingwindow(
+            test_path, save_path,
+            window_batch=args.window_batch, use_gaussian=args.use_gaussian,
+            mesh=mesh, save_nii=args.save_nii,
+        )
         print(f"run time:{time.time() - t0:.4f}")
 
 

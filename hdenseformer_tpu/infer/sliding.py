@@ -219,11 +219,17 @@ def inference_slidingwindow(
     lab_key: str = "label",
     use_gaussian: bool = False,
     mesh=None,
+    window_batch: int = 4,
+    save_nii: bool = False,
 ) -> list:
-    """Whole-directory sliding-window inference, saving .npy label maps.
+    """Whole-directory sliding-window inference, saving label maps.
 
     Reference parity: trainer.py:488-593 (PETandCTNormalize preprocessing,
-    same output naming '<case>.npy').
+    same output naming '<case>.npy'); ``save_nii=True`` additionally writes
+    '<case>.nii.gz' volumes like the reference's eval.py:234-284 savers.
+    ``window_batch`` windows run per model call (one device dispatch covers
+    the whole grid either way; batching fills the MXU better — default
+    picked by on-TPU benchmark, see PARITY.md).
     """
     os.makedirs(save_path, exist_ok=True)
     pathlist = sorted(glob.glob(os.path.join(test_path, "*.hdf5")))
@@ -239,8 +245,15 @@ def inference_slidingwindow(
         pred = predict_volume(
             model, variables, sample["image"], patch_size, step_size,
             num_classes, use_gaussian=use_gaussian, mesh=mesh,
+            window_batch=window_batch,
         )
         case = os.path.basename(path).split(".")[0]
         np.save(os.path.join(save_path, case + ".npy"), pred)
         outputs.append(os.path.join(save_path, case + ".npy"))
+        if save_nii:
+            from hdenseformer_tpu.data.io import write_nifti
+
+            nii_path = os.path.join(save_path, case + ".nii.gz")
+            write_nifti(nii_path, pred.astype(np.int16))
+            outputs.append(nii_path)
     return outputs

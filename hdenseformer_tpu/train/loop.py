@@ -75,41 +75,40 @@ from hdenseformer_tpu.utils import count_params, set_process_title
 
 
 class EarlyStopping:
-    """Stop when the monitored metric stops improving (ref trainer.py:948-1008)."""
+    """Request a training stop after ``patience`` epochs without improvement.
+
+    Behavioral contract matches the reference trainer (trainer.py:948-1008
+    — same knobs, same stop condition: strictly-better-than ``best + delta``
+    resets the counter); the implementation is original, tracking a single
+    signed score so min/max modes share one code path.
+    """
 
     def __init__(self, patience=10, verbose=True, delta=0, monitor="val_loss", op_type="min"):
         self.patience = patience
         self.verbose = verbose
-        self.counter = 0
-        self.best_score = None
-        self.early_stop = False
         self.delta = delta
         self.monitor = monitor
         self.op_type = op_type
-        self.val_score_min = np.inf if op_type == "min" else 0
+        self.sign = -1.0 if op_type == "min" else 1.0
+        self.counter = 0
+        self.best_score = None  # signed: higher is always better
+        self.best_value = None  # raw metric value of the best epoch
+        self.early_stop = False
 
-    def __call__(self, val_score):
-        score = -val_score if self.op_type == "min" else val_score
-        if self.best_score is None:
-            self.best_score = score
-            self._update(val_score)
-        elif score < self.best_score + self.delta:
+    def __call__(self, value):
+        value = float(value)
+        score = self.sign * value
+        improved = self.best_score is None or score >= self.best_score + self.delta
+        if not improved:
             self.counter += 1
             if self.verbose:
                 print(f"EarlyStopping counter: {self.counter} out of {self.patience}")
-            if self.counter >= self.patience:
-                self.early_stop = True
-        else:
-            self.best_score = score
-            self._update(val_score)
-            self.counter = 0
-
-    def _update(self, val_score):
+            self.early_stop = self.counter >= self.patience
+            return
         if self.verbose:
-            print(
-                f"{self.monitor} optimized ({self.val_score_min:.6f} --> {val_score:.6f}). Saving model ..."
-            )
-        self.val_score_min = val_score
+            prev = float("inf") * -self.sign if self.best_value is None else self.best_value
+            print(f"{self.monitor} optimized ({prev:.6f} --> {value:.6f}). Saving model ...")
+        self.best_score, self.best_value, self.counter = score, value, 0
 
 
 def make_train_step(criterion, num_classes: int, augment_fn=None):
@@ -453,15 +452,16 @@ class SemanticSeg:
             val_path, roi_number=self.roi_number, num_class=self.num_classes,
             transform=val_tfm, img_key=self.key_touple[0], lab_key=self.key_touple[1],
         )
-        n_dev = int(np.prod(mesh.devices.shape))
-        drop_last = n_dev > 1
+        # No samples are ever dropped on multi-device runs: batches that
+        # don't divide the mesh are executed replicated (see _put_batch),
+        # so train/val metrics are identical for any device count.
         train_loader = BatchLoader(
             train_ds, self.batch_size, shuffle=True,
-            num_workers=self.num_workers, seed=self.seed, drop_last=drop_last,
+            num_workers=self.num_workers, seed=self.seed, drop_last=False,
         )
         val_loader = BatchLoader(
             val_ds, self.batch_size, shuffle=False,
-            num_workers=self.num_workers, seed=self.seed, drop_last=drop_last,
+            num_workers=self.num_workers, seed=self.seed, drop_last=False,
         )
         self.global_step = self.start_epoch * math.ceil(len(train_path) / self.batch_size)
 
@@ -534,21 +534,52 @@ class SemanticSeg:
         self.state = state
         return history
 
+    def _put_batch(self, batch, mesh):
+        """Batch-shard over the mesh, or replicate when the batch doesn't
+        divide the device count (the last partial batch of an epoch).
+
+        Replicating the remainder keeps metrics bit-identical to a
+        single-device run instead of silently dropping samples.
+        """
+        n_dev = int(np.prod(mesh.devices.shape))
+        if batch["image"].shape[0] % n_dev == 0:
+            return shard_batch(mesh, batch)
+        from hdenseformer_tpu.parallel.mesh import replicated_sharding
+
+        sharding = replicated_sharding(mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
     def _run_epoch(self, state, loader, step_fn, epoch, mesh, dropout_rng, train: bool):
         loss_meter, dice_meter = AverageMeter(), AverageMeter()
         run_dice = RunningDice(labels=range(self.num_classes), ignore_label=-1)
+        # Metrics stay on device until drained (every 10 global steps, to
+        # match the reference's print cadence, and at epoch end) — the hot
+        # loop never blocks on a host sync, so dispatch runs ahead of the
+        # device. (The reference syncs every step, trainer.py:394-398.)
+        pending: List = []
+
+        def drain():
+            if not pending:
+                return
+            for n, fetched in zip(
+                [p[0] for p in pending], jax.device_get([p[1] for p in pending])
+            ):
+                loss_meter.update(float(fetched["loss"]), n)
+                dice_meter.update(float(fetched["dice"]), n)
+                run_dice.update_from_matrix(fetched["cm"])
+            pending.clear()
+
         for step, batch in enumerate(loader.epoch(epoch)):
             n = batch["image"].shape[0]
-            batch = shard_batch(mesh, batch)
+            batch = self._put_batch(batch, mesh)
             if train:
                 state, metrics = step_fn(state, batch, dropout_rng)
             else:
                 metrics = step_fn(state, batch)
-            loss_meter.update(float(metrics["loss"]), n)
-            dice_meter.update(float(metrics["dice"]), n)
-            run_dice.update_from_matrix(metrics["cm"])
+            pending.append((n, metrics))
             if train:
                 if self.global_step % 10 == 0:
+                    drain()
                     rd, dice_list = run_dice.compute_dice()
                     print("Category Dice: ", dice_list)
                     print(
@@ -557,11 +588,22 @@ class SemanticSeg:
                         f"run_dice:{rd:.5f},lr:{current_learning_rate(state)}"
                     )
                 self.global_step += 1
+        drain()
         rd = run_dice.compute_dice()[0]
         return state, {"loss": loss_meter.avg, "dice": dice_meter.avg, "run_dice": rd}
 
     # -- inference --------------------------------------------------------
-    def inference_slidingwindow(self, test_path, save_path, state=None, variables=None):
+    def inference_slidingwindow(
+        self,
+        test_path,
+        save_path,
+        state=None,
+        variables=None,
+        window_batch: int = 4,
+        use_gaussian: bool = False,
+        mesh=None,
+        save_nii: bool = False,
+    ):
         from hdenseformer_tpu.infer.sliding import inference_slidingwindow
 
         if variables is None:
@@ -577,4 +619,7 @@ class SemanticSeg:
             self.model, variables, test_path, save_path,
             num_classes=self.num_classes,
             patch_size=self.patch_size, step_size=self.step_size,
+            img_key=self.key_touple[0],
+            window_batch=window_batch, use_gaussian=use_gaussian,
+            mesh=mesh, save_nii=save_nii,
         )
