@@ -5,12 +5,20 @@ ViT, hidden 768 / mlp 3072 / 12 heads / 16^3 patches, perceptron patch
 embedding, skip taps at ViT layers 3/6/9, UnetrBasic/PrUp/Up decoder
 blocks with residual conv blocks, instance norm). The MONAI blocks are
 re-implemented in flax (channels-last):
-- ``UnetResBlock``: conv-IN-leakyrelu(0.01) x2 + 1x1 residual;
-- ``UnetrPrUpBlock``: ConvTranspose(k2,s2) ladder with optional res conv
-  per level (conv_block=True, res_block=True as in reference :104-139);
-- ``UnetrUpBlock``: ConvTranspose + skip concat + res block;
-- ViT 'perceptron' patch embedding = non-overlapping patch flatten +
-  Linear, learned pos-emb (trunc-normal 0.02).
+- ``UnetResBlock``: conv(bias=False)-IN(affine)-leakyrelu(0.01) x2 + 1x1
+  residual (monai 0.6-era dynunet_block semantics, the monai generation
+  the reference's UNETR import comes from — its get_norm_layer passes
+  affine=True for 'instance');
+- ``UnetrPrUpBlock`` with conv_block=False (the reference's setting,
+  models/UNETR.py:104-139): a plain ladder of ConvTranspose(k2,s2,
+  bias=False) — res_block is ignored when conv_block is False;
+- ``UnetrUpBlock``: ConvTranspose(bias=False) + skip concat + res block;
+- ViT 'perceptron' patch embedding = non-overlapping patch flatten in
+  (p1 p2 p3 c) order + Linear, learned pos-emb (trunc-normal 0.02),
+  qkv projection bias-free, out-proj/MLP with bias, exact GELU.
+
+Numerically verified by weight-copy forward parity against an in-test
+torch oracle restating the monai block math (tests/test_unetr_parity.py).
 """
 from __future__ import annotations
 
@@ -112,12 +120,12 @@ class UNETR(nn.Module):
         b = x.shape[0]
 
         # perceptron patch embedding: (16^d * C) -> hidden
+        # (monai rearrange 'b c (h p1) (w p2) (d p3) -> b (h w d) (p1 p2 p3 c)')
         h = x
         for axis in range(nsp):
+            pos = 1 + 2 * axis  # each split inserts an axis before the next
             h = h.reshape(
-                h.shape[: 1 + axis]
-                + (h.shape[1 + axis] // patch, patch)
-                + h.shape[2 + axis:]
+                h.shape[:pos] + (h.shape[pos] // patch, patch) + h.shape[pos + 1:]
             )
         # (B, g0, p, g1, p, g2, p, C) -> (B, g0, g1, g2, p, p, p, C)
         perm = (
@@ -153,10 +161,14 @@ class UNETR(nn.Module):
         enc1 = UnetResBlock(fs, dtype=dt, name="encoder1")(x)
 
         def prup(t, out_ch, num_layer, name):
-            h2 = ConvTranspose(out_ch, 2, 2, dtype=dt, name=f"{name}_up0")(t)
+            # conv_block=False (ref models/UNETR.py:104-139): the ladder is
+            # transp_conv_init + num_layer plain transposed convs, no
+            # conv/res blocks; dynunet get_conv_layer convs carry no bias.
+            h2 = ConvTranspose(out_ch, 2, 2, use_bias=False, dtype=dt,
+                               name=f"{name}_up0")(t)
             for j in range(num_layer):
-                h2 = ConvTranspose(out_ch, 2, 2, dtype=dt, name=f"{name}_up{j+1}")(h2)
-                h2 = UnetResBlock(out_ch, dtype=dt, name=f"{name}_res{j+1}")(h2)
+                h2 = ConvTranspose(out_ch, 2, 2, use_bias=False, dtype=dt,
+                                   name=f"{name}_up{j+1}")(h2)
             return h2
 
         enc2 = prup(proj(hidden_states[3]), fs * 2, 2, "encoder2")
@@ -164,7 +176,8 @@ class UNETR(nn.Module):
         enc4 = prup(proj(hidden_states[9]), fs * 8, 0, "encoder4")
 
         def up(t, skip, out_ch, name):
-            h2 = ConvTranspose(out_ch, 2, 2, dtype=dt, name=f"{name}_up")(t)
+            h2 = ConvTranspose(out_ch, 2, 2, use_bias=False, dtype=dt,
+                               name=f"{name}_up")(t)
             h2 = jnp.concatenate([h2, skip], axis=-1)
             return UnetResBlock(out_ch, dtype=dt, name=f"{name}_res")(h2)
 
