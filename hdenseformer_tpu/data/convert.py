@@ -25,17 +25,78 @@ from hdenseformer_tpu.data.io import read_nifti, save_as_hdf5
 from hdenseformer_tpu.data.transforms import resize_half_pixel, resize_label_per_class
 
 
+def get_paths_to_patient_files(path_to_imgs: str, append_mask: bool = True) -> list:
+    """Per-patient (ct, pet[, mask]) NIfTI path tuples.
+
+    Equivalent of converter/utils.py:10-41: one sub-directory per patient
+    named ``<id>``, holding ``<id>_ct.nii.gz`` / ``<id>_pt.nii.gz`` and
+    (optionally) the ``<id>_ct_gtvt.nii.gz`` annotation.
+    """
+    patients = sorted(
+        p for p in os.listdir(path_to_imgs)
+        if os.path.isdir(os.path.join(path_to_imgs, p))
+    )
+    paths = []
+    for p in patients:
+        d = os.path.join(path_to_imgs, p)
+        entry = (os.path.join(d, p + "_ct.nii.gz"), os.path.join(d, p + "_pt.nii.gz"))
+        if append_mask:
+            entry = entry + (os.path.join(d, p + "_ct_gtvt.nii.gz"),)
+        paths.append(entry)
+    return paths
+
+
+def get_train_val_paths(all_paths: list, path_to_train_val_split: str) -> Tuple[list, list]:
+    """Split patient path tuples by a JSON id file {'train': [...], 'val': [...]}.
+
+    Equivalent of converter/utils.py:44-70 (which json-loads its
+    "pkl"-named split file): a path lands in a set when any of that set's
+    patient ids is a prefix of its CT filename.
+    """
+    import json
+
+    with open(path_to_train_val_split) as f:
+        split = json.load(f)
+
+    def member(entry, ids):
+        ct = str(entry[0])
+        return any(pid + "_ct.nii.gz" in ct for pid in ids)
+
+    train = [e for e in all_paths if member(e, split["train"])]
+    val = [e for e in all_paths if member(e, split["val"])]
+    return train, val
+
+
+def _map_coordinates_resize(array: np.ndarray, new_size, order: int) -> np.ndarray:
+    """Half-pixel-convention spline resize via scipy map_coordinates."""
+    from scipy.ndimage import map_coordinates
+
+    coords = np.meshgrid(
+        *[
+            (np.arange(ns) + 0.5) * sh / ns - 0.5
+            for ns, sh in zip(new_size, array.shape)
+        ],
+        indexing="ij",
+    )
+    return map_coordinates(
+        array.astype(np.float32), coords, order=order, mode="nearest"
+    )
+
+
 def resample_image(
     array: np.ndarray,
     spacing: Sequence[float],
     new_spacing: Optional[Sequence[float]] = None,
     new_size: Optional[Sequence[int]] = None,
     is_label: bool = False,
+    interpolator: str = "linear",
 ) -> Tuple[np.ndarray, Tuple[float, ...]]:
     """Resample (z,y,x) array to a new spacing or explicit size.
 
     Equivalent of converter/utils.py:98-177: exactly one of new_spacing /
-    new_size; linear for images, nearest for labels.
+    new_size; ``interpolator`` mirrors the reference's selectable sitk
+    interpolators — 'linear' (default), 'nearest', 'bspline' (cubic
+    spline, sitk.sitkBSpline) — labels always resample nearest.
     """
     if (new_spacing is None) == (new_size is None):
         raise ValueError("specify exactly one of new_spacing / new_size")
@@ -47,7 +108,7 @@ def resample_image(
     out_spacing = tuple(
         float(sp * sh / ns) for sp, sh, ns in zip(spacing, array.shape, new_size)
     )
-    if is_label:
+    if is_label or interpolator == "nearest":
         idx = [
             np.minimum(
                 np.floor(np.arange(ns) * sh / ns).astype(int), sh - 1
@@ -55,8 +116,14 @@ def resample_image(
             for ns, sh in zip(new_size, array.shape)
         ]
         out = array[np.ix_(*idx)]
-    else:
+    elif interpolator == "linear":
         out = resize_half_pixel(array.astype(np.float32), new_size, order=1)
+    elif interpolator == "bspline":
+        out = _map_coordinates_resize(array, new_size, order=3)
+    else:
+        raise ValueError(
+            f"unknown interpolator {interpolator!r}; options: linear/nearest/bspline"
+        )
     return out, out_spacing
 
 

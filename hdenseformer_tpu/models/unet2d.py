@@ -295,6 +295,63 @@ class DeepLabV3Plus2D(nn.Module):
         return masks
 
 
+def load_torch_resnet_encoder(variables, state_dict, encoder: str = "encoder"):
+    """Port a torchvision/smp-format ResNet state dict (e.g. imagenet
+    weights) into the flax encoder — the reference's
+    ``ex_pre_trained -> encoder_weights='imagenet'`` path
+    (trainer.py:706-739), done offline from a local checkpoint.
+
+    ``state_dict`` maps torchvision names (``conv1.weight``, ``bn1.*``,
+    ``layer{s}.{b}.conv{i}.weight``, ``layer{s}.{b}.downsample.{0,1}.*``)
+    to arrays; extra keys (``fc.*``) are ignored. Conv kernels are
+    transposed (O,I,kh,kw)->(kh,kw,I,O); BatchNorm running statistics go
+    into the ``batch_stats`` collection. If the checkpoint's conv1 input
+    width differs from the model's (imagenet RGB vs CT/PET channels), the
+    kernel is channel-averaged and repeated, smp's ``patch_first_conv``
+    adaptation. Returns a new ``variables`` dict.
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    variables = dict(variables)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
+    enc_p, enc_s = params[encoder], stats[encoder]
+
+    def conv_w(w):
+        return np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+
+    def set_bn(tree_p, tree_s, prefix):
+        tree_p["BatchNorm_0"]["scale"] = sd[prefix + ".weight"].astype(np.float32)
+        tree_p["BatchNorm_0"]["bias"] = sd[prefix + ".bias"].astype(np.float32)
+        tree_s["BatchNorm_0"]["mean"] = sd[prefix + ".running_mean"].astype(np.float32)
+        tree_s["BatchNorm_0"]["var"] = sd[prefix + ".running_var"].astype(np.float32)
+
+    w = conv_w(sd["conv1.weight"])
+    want = enc_p["conv1"]["kernel"].shape[2]
+    if w.shape[2] != want:
+        w = np.repeat(w.mean(axis=2, keepdims=True), want, axis=2)
+    enc_p["conv1"]["kernel"] = w
+    set_bn(enc_p["bn1"], enc_s["bn1"], "bn1")
+    for key in enc_p:
+        if not key.startswith("layer"):
+            continue
+        stage, b = key[len("layer"):].split("_")
+        t = f"layer{stage}.{b}"
+        blk_p, blk_s = enc_p[key], enc_s[key]
+        for i in (1, 2, 3):
+            if f"conv{i}" in blk_p:
+                blk_p[f"conv{i}"]["kernel"] = conv_w(sd[f"{t}.conv{i}.weight"])
+                set_bn(blk_p[f"bn{i}"], blk_s[f"bn{i}"], f"{t}.bn{i}")
+        if "downsample_conv" in blk_p:
+            blk_p["downsample_conv"]["kernel"] = conv_w(sd[f"{t}.downsample.0.weight"])
+            set_bn(blk_p["downsample_bn"], blk_s["downsample_bn"], f"{t}.downsample.1")
+    variables["params"] = params
+    if stats:
+        variables["batch_stats"] = stats
+    return variables
+
+
 def get_2d_net(net_name, encoder_name, in_channels, classes, aux_classes=None, dtype=None):
     del in_channels  # channels-last models infer input width
     if encoder_name not in _RESNETS:

@@ -353,9 +353,44 @@ class SemanticSeg:
             {"params": jax.random.PRNGKey(self.seed)}, self._example_input()
         )
 
+    def _load_encoder_pretrained(self, variables):
+        """``ex_pre_trained`` = the reference's smp
+        ``encoder_weights='imagenet'`` path (trainer.py:706-739). Offline
+        TPU environments cannot download checkpoints, so the knob must be
+        a local path to a torchvision-format ResNet state dict
+        (.pth via torch, or .npz); ``True`` raises loudly instead of
+        silently training from scratch.
+        """
+        if self.net_name not in ("unet", "unet++", "deeplabv3+"):
+            raise ValueError(
+                "ex_pre_trained applies to the smp-style 2D baselines "
+                "(unet/unet++/deeplabv3+)"
+            )
+        if not isinstance(self.ex_pre_trained, str):
+            raise ValueError(
+                "ex_pre_trained=True would download imagenet weights in the "
+                "reference; this offline build needs a local checkpoint: pass "
+                "ex_pre_trained='/path/to/resnet-imagenet.{pth,npz}'"
+            )
+        from hdenseformer_tpu.models.unet2d import load_torch_resnet_encoder
+
+        path = self.ex_pre_trained
+        if path.endswith(".npz"):
+            sd = dict(np.load(path))
+        else:
+            import torch
+
+            sd = {
+                k: v.detach().cpu().numpy()
+                for k, v in torch.load(path, map_location="cpu").items()
+            }
+        return load_torch_resnet_encoder(variables, sd)
+
     def build_state(self, optimizer: str = "Adam", variables=None) -> TrainState:
         if variables is None:
             variables = self.init_variables()
+        if self.ex_pre_trained:
+            variables = self._load_encoder_pretrained(variables)
         variables = dict(variables)
         params = variables.pop("params")
         tx = get_optimizer(

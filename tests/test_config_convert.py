@@ -92,3 +92,58 @@ def test_split_and_resize(tmp_path):
     )
     assert len(train) == 3 and len(test) == 2
     assert os.path.isdir(str(tmp_path / "out" / "train"))
+
+
+def test_patient_path_helpers(tmp_path):
+    """converter/utils.py:10-70 equivalents: patient file tuples + split."""
+    import json
+
+    from hdenseformer_tpu.data.convert import (
+        get_paths_to_patient_files,
+        get_train_val_paths,
+    )
+
+    for pid in ["CHUM001", "CHUM002", "CHUV003"]:
+        d = tmp_path / pid
+        d.mkdir()
+        for suffix in ["_ct.nii.gz", "_pt.nii.gz", "_ct_gtvt.nii.gz"]:
+            (d / (pid + suffix)).write_bytes(b"")
+    paths = get_paths_to_patient_files(str(tmp_path), append_mask=True)
+    assert len(paths) == 3 and all(len(p) == 3 for p in paths)
+    assert paths[0][0].endswith("CHUM001_ct.nii.gz")
+    assert paths[0][2].endswith("CHUM001_ct_gtvt.nii.gz")
+    no_mask = get_paths_to_patient_files(str(tmp_path), append_mask=False)
+    assert all(len(p) == 2 for p in no_mask)
+
+    split_file = tmp_path / "split.json"
+    split_file.write_text(
+        json.dumps({"train": ["CHUM001", "CHUV003"], "val": ["CHUM002"]})
+    )
+    train, val = get_train_val_paths(paths, str(split_file))
+    assert len(train) == 2 and len(val) == 1
+    assert val[0][0].endswith("CHUM002_ct.nii.gz")
+
+
+def test_resample_bspline_interpolator():
+    """'bspline' mirrors sitk.sitkBSpline: exact on affine ramps, smooth
+    elsewhere; unknown names raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hdenseformer_tpu.data.convert import resample_image
+
+    z, y, x = np.meshgrid(np.arange(8.0), np.arange(8.0), np.arange(8.0),
+                          indexing="ij")
+    ramp = (2 * z + 3 * y - x).astype(np.float32)
+    out_b, sp = resample_image(ramp, (1, 1, 1), new_size=(16, 16, 16),
+                               interpolator="bspline")
+    out_l, _ = resample_image(ramp, (1, 1, 1), new_size=(16, 16, 16),
+                              interpolator="linear")
+    assert out_b.shape == (16, 16, 16)
+    assert sp == (0.5, 0.5, 0.5)
+    # cubic splines reproduce affine functions exactly (away from the
+    # clamped border); linear agrees there too
+    np.testing.assert_allclose(out_b[4:-4, 4:-4, 4:-4],
+                               out_l[4:-4, 4:-4, 4:-4], rtol=5e-3, atol=0.1)
+    with _pytest.raises(ValueError, match="interpolator"):
+        resample_image(ramp, (1, 1, 1), new_size=(4, 4, 4), interpolator="sinc")
