@@ -20,11 +20,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_distributed_init() -> None:
-    """Initialize jax.distributed when launched multi-host (no-op otherwise)."""
+    """Initialize jax.distributed when launched multi-host (no-op otherwise).
+
+    Launch contract: each process exports ``JAX_COORDINATOR_ADDRESS`` and,
+    outside auto-detected clusters (SLURM/TPU pods), ``JAX_NUM_PROCESSES``
+    + ``JAX_PROCESS_ID``. Exercised by the two-process CPU smoke test
+    (tests/test_distributed.py) over the gloo CPU-collectives backend.
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def local_mesh_devices(n: Optional[int] = None) -> list:
