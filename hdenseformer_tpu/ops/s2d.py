@@ -1,0 +1,274 @@
+"""Space-to-depth packed convolution: the TPU-native layout for narrow-
+channel conv stages.
+
+The v5e MXU consumes 128-lane operands; the reference's full-resolution
+stages run 32/64 channels (models/HDenseFormer.py:237-244), which XLA
+pads 32->128, reaching ~10 TF/s of the chip's 123 TF/s matmul ceiling
+(baselines/profile_notes.md). This module re-lays those stages out
+space-to-depth: each 2^d fine-grid block becomes a channel group, so a
+144^3 x 32ch activation flows as 72^3 x 256ch — fully lane-aligned.
+
+Under this layout (channel-major packed order: packed index = c * 2^d + p,
+p = fine offset bits):
+
+- a SAME 3^d conv on the fine grid == a VALID 2^d conv on the coarse grid
+  with a structurally-expanded kernel (``expand_kernel``) applied to the
+  half-shifted packing (``plain_to_shifted``). Exact same sums, different
+  order — measured 2.4x faster fwd+bwd at 144^3 x 32ch on v5e;
+- a k2 s2 maxpool == a max over the p axis (``max_pool_packed``) — this
+  also eliminates XLA's 3-D select-and-scatter backward (29 ms/step in
+  the round-1 profile);
+- a k3 s2 p1 op1 ConvTranspose (decoder upsample,
+  models/HDenseFormer.py:211-219) == a VALID k2 conv from the coarse grid
+  into packed fine channels (``conv_transpose_packed`` via
+  ``expand_kernel_transpose``) — no input dilation at all;
+- a 1^d conv (deep-supervision heads) == a grouped per-p matmul
+  (``conv1_packed``);
+- InstanceNorm reduces over (spatial, p) per original channel
+  (``instance_norm_relu_packed``).
+
+The expansion carries a 2^(2d)*2^d/3^d FLOP redundancy (2.37x for d=3:
+64 dense vs 27 useful taps) but runs at full MXU utilization, a large
+net win below 128 channels. All ops are plain XLA (conv_general_dilated/
+reshape/slice), so autodiff, jit, pjit sharding and CPU tests work
+unchanged.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _dim_numbers(nsp: int):
+    if nsp == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if nsp == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(f"unsupported spatial rank {nsp}")
+
+
+@lru_cache(maxsize=None)
+def _tap_factor(transpose: bool) -> np.ndarray:
+    """Per-dimension factor A[u, p, q, k].
+
+    Forward (SAME k3): shifted input cell u in {0,1} holds fine positions
+    2j + 2u + p - 1; output fine position 2j + q needs kernel tap
+    t = (2u + p - 1) - q in {-1, 0, 1}, i.e. kernel index k = t + 1.
+
+    Transpose (torch ConvTranspose k3 s2 p1 op1): output fine position
+    o = 2j + q receives in[i] * w[k] where o = 2i + k - 1; with coarse
+    input cell i = j + u (u in {0,1}) that is k = q - 2u + 1.
+    """
+    A = np.zeros((2, 2, 2, 3), np.float32)
+    for u in range(2):
+        for p in range(2):
+            for q in range(2):
+                k = (q - 2 * u + 1) if transpose else (2 * u + p - q)
+                if transpose and p != 0:
+                    continue  # transpose input is unpacked: only p=0 used
+                if 0 <= k <= 2:
+                    A[u, p, q, k] = 1.0
+    return A
+
+
+def expand_kernel(w: Array) -> Array:
+    """(3,..,3, C, Co) fine SAME-conv kernel -> (2,..,2, 2^d*C, 2^d*Co)
+    packed VALID-conv kernel (channel-major packed order)."""
+    nsp = w.ndim - 2
+    A = jnp.asarray(_tap_factor(False), w.dtype)
+    if nsp == 3:
+        Wp = jnp.einsum("aPQk,bRSl,cTUm,klmio->abciPRToQSU", A, A, A, w)
+    else:
+        Wp = jnp.einsum("aPQk,bRSl,klio->abiPRoQS", A, A, w)
+    C, Co = w.shape[-2], w.shape[-1]
+    f = 2 ** nsp
+    return Wp.reshape((2,) * nsp + (f * C, f * Co))
+
+
+def expand_kernel_transpose(w: Array) -> Array:
+    """torch-layout ConvTranspose kernel, already converted to the
+    equivalent-conv form used by models/layers.py::ConvTranspose
+    ((3,..,3, C_in, C_out), spatially flipped) -> (2,..,2, C_in, 2^d*C_out)
+    packed kernel: a VALID k2 coarse conv producing packed fine outputs.
+
+    models/layers.py stores the transposed conv as an equivalent dilated
+    conv whose kernel is the flipped torch kernel; un-flip to recover
+    w_t[k] and apply o = 2i + k - 1 (k3 s2 p1 op1, ref
+    models/HDenseFormer.py:211-219).
+    """
+    nsp = w.ndim - 2
+    wt = jnp.flip(w, axis=tuple(range(nsp)))  # back to torch tap order
+    A = jnp.asarray(_tap_factor(True)[:, 0], w.dtype)  # (u, q, k)
+    if nsp == 3:
+        Wp = jnp.einsum("aQk,bSl,cUm,klmio->abcioQSU", A, A, A, wt)
+    else:
+        Wp = jnp.einsum("aQk,bSl,klio->abioQS", A, A, wt)
+    C, Co = w.shape[-2], w.shape[-1]
+    return Wp.reshape((2,) * nsp + (C, (2 ** nsp) * Co))
+
+
+def pack(x: Array) -> Array:
+    """(N, *fine, C) -> (N, *fine/2, C * 2^d), channel-major packed."""
+    nsp = x.ndim - 2
+    n, c = x.shape[0], x.shape[-1]
+    g = tuple(s // 2 for s in x.shape[1:-1])
+    shape = (n,)
+    for gs in g:
+        shape += (gs, 2)
+    shape += (c,)
+    xp = x.reshape(shape)
+    # (n, g0, 2, g1, 2, ..., c) -> (n, g0, g1, ..., c, 2, 2, ...)
+    perm = (0,) + tuple(1 + 2 * i for i in range(nsp)) + (1 + 2 * nsp,) + tuple(
+        2 + 2 * i for i in range(nsp)
+    )
+    xp = xp.transpose(perm)
+    return xp.reshape((n,) + g + (c * 2 ** nsp,))
+
+
+def unpack(xp: Array) -> Array:
+    nsp = xp.ndim - 2
+    n, c8 = xp.shape[0], xp.shape[-1]
+    f = 2 ** nsp
+    c = c8 // f
+    g = xp.shape[1:-1]
+    x = xp.reshape((n,) + tuple(g) + (c,) + (2,) * nsp)
+    # (n, g..., c, p...) -> (n, g0, p0, g1, p1, ..., c)
+    perm = (0,)
+    for i in range(nsp):
+        perm += (1 + i, 2 + nsp + i)
+    perm += (1 + nsp,)
+    x = x.transpose(perm)
+    return x.reshape((n,) + tuple(2 * s for s in g) + (c,))
+
+
+def plain_to_shifted(xp: Array) -> Array:
+    """Packed-plain (cells cover fine [2j, 2j+1]) -> packed-shifted
+    (cells cover fine [2j-1, 2j], one extra cell per dim, zero-padded
+    boundary == the fine conv's SAME padding)."""
+    nsp = xp.ndim - 2
+    n, c8 = xp.shape[0], xp.shape[-1]
+    f = 2 ** nsp
+    c = c8 // f
+    g = xp.shape[1:-1]
+    xr = xp.reshape((n,) + tuple(g) + (c,) + (2,) * nsp)
+    pad = ((0, 0),) + ((1, 1),) * nsp + ((0, 0),) * (1 + nsp)
+    xr = jnp.pad(xr, pad)
+    # shifted[j, c, p'] = plain[j + p' - 1, c, 1 - p']  (per dim)
+    pieces = []
+    for mask in range(f):
+        pbits = [(mask >> (nsp - 1 - i)) & 1 for i in range(nsp)]
+        idx = (slice(None),)
+        for i, pb in enumerate(pbits):
+            # padded coords: j in [0, g+1]; want source j + pb - 1 for
+            # shifted j in [0, g], i.e. padded range [pb, pb + g + 1)
+            idx += (slice(pb, pb + g[i] + 1),)
+        idx += (slice(None),) + tuple(1 - pb for pb in pbits)
+        pieces.append(xr[idx])
+    out = jnp.stack(pieces, axis=-1)  # (n, *(g+1), c, f)
+    return out.reshape((n,) + tuple(s + 1 for s in g) + (c8,))
+
+
+def conv3_packed(xp: Array, w: Array, dtype=None) -> Array:
+    """SAME 3^d conv on the fine grid, computed in packed space.
+
+    xp: packed-plain (N, *g, C*2^d); w: fine kernel (3,..,3, C, Co).
+    Returns packed-plain (N, *g, Co*2^d).
+    """
+    nsp = xp.ndim - 2
+    dt = dtype or xp.dtype
+    xs = plain_to_shifted(xp)
+    wexp = expand_kernel(w).astype(dt)
+    return jax.lax.conv_general_dilated(
+        xs.astype(dt), wexp, (1,) * nsp, "VALID",
+        dimension_numbers=_dim_numbers(nsp),
+    )
+
+
+def conv_transpose_packed(x: Array, w_equiv: Array, bias=None, dtype=None) -> Array:
+    """torch ConvTranspose(k3, s2, p1, op1) fine upsample, packed output.
+
+    x: UNPACKED coarse grid (N, *g, C); w_equiv: the equivalent-conv
+    kernel stored by models/layers.py::ConvTranspose. Returns
+    packed-plain (N, *g, Co*2^d) on the same coarse grid = the 2x fine
+    grid. Coarse taps are {j, j+1}: pad high side by one cell.
+    """
+    nsp = x.ndim - 2
+    dt = dtype or x.dtype
+    wexp = expand_kernel_transpose(w_equiv).astype(dt)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), wexp, (1,) * nsp, [(0, 1)] * nsp,
+        dimension_numbers=_dim_numbers(nsp),
+    )
+    if bias is not None:
+        f = 2 ** nsp
+        co = w_equiv.shape[-1]
+        y = y + jnp.repeat(bias.astype(dt), f)
+    return y
+
+
+def conv1_packed(xp: Array, w1: Array, bias=None) -> Array:
+    """1^d conv (e.g. a deep-supervision head) in packed space, fp32."""
+    nsp = xp.ndim - 2
+    f = 2 ** nsp
+    c8 = xp.shape[-1]
+    c = c8 // f
+    co = w1.shape[-1]
+    x32 = xp.astype(jnp.float32)
+    xr = x32.reshape(xp.shape[:-1] + (c, f))
+    w = w1.reshape(c, co).astype(jnp.float32)
+    y = jnp.einsum("...cf,co->...of", xr, w)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)[..., None]
+    return y.reshape(xp.shape[:-1] + (co * f,))
+
+
+def max_pool_packed(xp: Array) -> Array:
+    """k2 s2 maxpool of the fine grid == max over the p axis. Returns the
+    UNPACKED coarse grid (which is the next stage's fine grid)."""
+    nsp = xp.ndim - 2
+    f = 2 ** nsp
+    c = xp.shape[-1] // f
+    xr = xp.reshape(xp.shape[:-1] + (c, f))
+    return jnp.max(xr, axis=-1)
+
+
+def instance_norm_relu_packed(
+    xp: Array,
+    scale: Optional[Array] = None,
+    bias: Optional[Array] = None,
+    epsilon: float = 1e-5,
+    relu: bool = True,
+) -> Array:
+    """InstanceNorm(+affine)+ReLU over the fine grid, in packed space:
+    statistics per (sample, original channel) reduce over (spatial, p)."""
+    nsp = xp.ndim - 2
+    f = 2 ** nsp
+    c = xp.shape[-1] // f
+    x32 = xp.astype(jnp.float32).reshape(xp.shape[:-1] + (c, f))
+    axes = tuple(range(1, xp.ndim - 1)) + (xp.ndim,)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + epsilon)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)[..., None]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)[..., None]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.reshape(xp.shape).astype(xp.dtype)
+
+
+def concat_packed(tensors) -> Array:
+    """Channel concat in packed space (channel-major order makes the
+    per-p interleave a reshape+concat+reshape)."""
+    nsp = tensors[0].ndim - 2
+    f = 2 ** nsp
+    parts = [t.reshape(t.shape[:-1] + (t.shape[-1] // f, f)) for t in tensors]
+    out = jnp.concatenate(parts, axis=-2)
+    return out.reshape(out.shape[:-2] + (out.shape[-2] * f,))

@@ -1,0 +1,127 @@
+"""Space-to-depth packed ops: exact equivalence vs fine-grid references."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hdenseformer_tpu.ops.s2d import (
+    concat_packed,
+    conv1_packed,
+    conv3_packed,
+    conv_transpose_packed,
+    expand_kernel,
+    instance_norm_relu_packed,
+    max_pool_packed,
+    pack,
+    plain_to_shifted,
+    unpack,
+)
+
+
+def _dn(nsp):
+    return ("NDHWC", "DHWIO", "NDHWC") if nsp == 3 else ("NHWC", "HWIO", "NHWC")
+
+
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_pack_unpack_roundtrip(nsp):
+    rng = np.random.RandomState(0)
+    shape = (2,) + (8,) * nsp + (5,)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    np.testing.assert_array_equal(unpack(pack(x)), x)
+
+
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_conv3_packed_matches_fine(nsp):
+    rng = np.random.RandomState(1)
+    C, Co, D = 4, 6, 12
+    x = jnp.asarray(rng.randn(2, *(D,) * nsp, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(*(3,) * nsp, C, Co).astype(np.float32) * 0.2)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1,) * nsp, [(1, 1)] * nsp, dimension_numbers=_dn(nsp)
+    )
+    got = unpack(conv3_packed(pack(x), w))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_plain_to_shifted_boundary_is_same_padding():
+    """Shifted cell 0 / last cell carry zeros == the fine conv's SAME pad."""
+    x = jnp.ones((1, 4, 4, 4, 1), jnp.float32)
+    xs = plain_to_shifted(pack(x))
+    assert xs.shape == (1, 3, 3, 3, 8)
+    # corner cell (0,0,0): only the p=(1,1,1) fine position is interior
+    corner = np.asarray(xs[0, 0, 0, 0])
+    assert corner[-1] == 1.0 and corner[:-1].sum() == 0.0
+
+
+def test_conv_transpose_packed_matches_equiv():
+    """k3 s2 p1 op1 ConvTranspose == packed coarse k2 conv."""
+    from hdenseformer_tpu.models.layers import ConvTranspose
+
+    rng = np.random.RandomState(2)
+    C, Co, G = 5, 4, 6
+    x = jnp.asarray(rng.randn(1, G, G, G, C).astype(np.float32))
+    mod = ConvTranspose(Co, 3, 2, 1, 1)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(variables, x)  # (1, 2G, 2G, 2G, Co)
+    w = variables["params"]["kernel"]
+    b = variables["params"]["bias"]
+    got = unpack(conv_transpose_packed(x, w, bias=b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_packed_matches_fine():
+    from hdenseformer_tpu.ops.resize import max_pool
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 3).astype(np.float32))
+    np.testing.assert_array_equal(max_pool_packed(pack(x)), max_pool(x))
+
+
+def test_instance_norm_relu_packed_matches_fine():
+    from hdenseformer_tpu.ops.instance_norm import xla_instance_norm_relu
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 3).astype(np.float32))
+    scale = jnp.asarray(rng.rand(3).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(3).astype(np.float32))
+    ref = xla_instance_norm_relu(x, scale, bias)
+    got = unpack(instance_norm_relu_packed(pack(x), scale, bias))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_conv1_packed_matches_fine():
+    rng = np.random.RandomState(5)
+    C, Co = 6, 2
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 1, C, Co).astype(np.float32))
+    b = jnp.asarray(rng.randn(Co).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "VALID", dimension_numbers=_dn(3)
+    ) + b
+    got = unpack(conv1_packed(pack(x), w, bias=b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_concat_packed_matches_fine():
+    rng = np.random.RandomState(6)
+    a = jnp.asarray(rng.randn(1, 4, 4, 4, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(1, 4, 4, 4, 5).astype(np.float32))
+    ref = jnp.concatenate([a, b], axis=-1)
+    got = unpack(concat_packed([pack(a), pack(b)]))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_packed_chain_grad_flows():
+    """Autodiff through the packed stage (conv-IN-relu-pool) is finite."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 2, 4).astype(np.float32) * 0.2)
+
+    def f(w):
+        y = conv3_packed(pack(x), w)
+        y = instance_norm_relu_packed(y)
+        return jnp.sum(max_pool_packed(y) ** 2)
+
+    g = jax.grad(f)(w)
+    assert np.all(np.isfinite(np.asarray(g)))
