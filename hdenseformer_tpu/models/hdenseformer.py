@@ -226,6 +226,10 @@ class HDenseFormer(nn.Module):
     use_pallas: Optional[bool] = None
     remat: bool = True
     dtype: Optional[jnp.dtype] = None
+    # space-to-depth packed execution of the narrow-channel UNet levels
+    # (ops/s2d.py): None/True = pack every level with < 128 channels and
+    # even dims (exact same math, MXU-aligned on TPU), False = off.
+    s2d: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> list[Array]:
@@ -235,9 +239,12 @@ class HDenseFormer(nn.Module):
         # rematerialization: at 144^3 the stored conv activations exceed a
         # single chip's HBM for the backward pass at batch >= 2;
         # remat=True checkpoints every block (fits batch 2, ~2.8x step
-        # time), remat="encoder" checkpoints only the encoder/up-path
-        # (middle ground), remat=False stores everything (fastest; fits
-        # batch 1 at 144^3 on 16GB).
+        # time), remat="encoder" checkpoints only the encoder/up-path,
+        # remat="levels" checkpoints only the two full/half-resolution
+        # UNet levels (the 144^3/72^3 activations that dominate memory,
+        # ~6% of the FLOPs recompute), remat=False stores everything
+        # (fastest; fits batch 1 at 144^3 on 16GB).
+        lvl_remat = self.remat == "levels"
         if self.remat is True:
             BasicConvM = BasicConvEnc = nn.remat(BasicConv)
             UpConvM = nn.remat(UpConv)
@@ -248,7 +255,7 @@ class HDenseFormer(nn.Module):
             UpConvM = nn.remat(UpConv)
             TransBlock = nn.remat(DenseTransformerBlock, static_argnums=(2,))
             BasicConvM, ConvTransposeM = BasicConv, ConvTranspose
-        else:
+        else:  # False or "levels" (level selection happens per enc/dec level)
             BasicConvM = BasicConvEnc = BasicConv
             UpConvM, ConvTransposeM = UpConv, ConvTranspose
             TransBlock = DenseTransformerBlock
@@ -284,42 +291,77 @@ class HDenseFormer(nn.Module):
         at3 = UpConvM(1 * nf, dtype=dt, name="up3")(at2)  # 1/1
 
         # --- UNet encoder with additive transformer fusion ----------------
-        ds0 = BasicConvEnc(nf, dtype=dt, name="block_1_1_left")(x)
-        ds0 = BasicConvEnc(nf, dtype=dt, name="block_1_2_left")(ds0)
-        ds0 = ds0 + at3
-        ds1 = BasicConvEnc(2 * nf, dtype=dt, name="block_2_1_left")(max_pool(ds0))
-        ds1 = BasicConvEnc(2 * nf, dtype=dt, name="block_2_2_left")(ds1)
-        ds1 = ds1 + at2
-        ds2 = BasicConvEnc(4 * nf, dtype=dt, name="block_3_1_left")(max_pool(ds1))
-        ds2 = BasicConvEnc(4 * nf, dtype=dt, name="block_3_2_left")(ds2)
-        ds2 = ds2 + at1
-        y = BasicConvEnc(8 * nf, dtype=dt, name="block_4_1_left")(max_pool(ds2))
+        # Narrow-channel levels run space-to-depth packed (ops/s2d.py):
+        # identical math in an MXU-aligned 8x-channel layout; maxpool is a
+        # channel-axis max whose output is the next level's (unpacked)
+        # fine grid. Levels with >= 128 channels are already lane-full.
+        from hdenseformer_tpu.ops.s2d import concat_packed, max_pool_packed, pack, unpack
+
+        sp = x.shape[1:-1]
+        use_s2d = self.s2d if self.s2d is not None else True
+
+        def lvl_packed(lvl: int) -> bool:
+            ch = (2 ** lvl) * nf
+            fine = [s // (2 ** lvl) for s in sp]
+            even = all(f > 0 and f % 2 == 0 and s % (2 ** lvl) == 0 for f, s in zip(fine, sp))
+            return bool(use_s2d) and ch < 128 and even
+
+        pk = [lvl_packed(i) for i in range(3)]
+
+        def enc_level(h, ats, lvl, ch, n1, n2):
+            """One encoder level: conv x2 (+transformer fusion), skip + pool."""
+            Blk = nn.remat(BasicConv) if (lvl_remat and lvl <= 1) else BasicConvEnc
+            if pk[lvl]:
+                hp = pack(h)
+                d = Blk(ch, dtype=dt, packed=True, name=n1)(hp)
+                d = Blk(ch, dtype=dt, packed=True, name=n2)(d)
+                d = d + pack(ats)
+                return d, max_pool_packed(d)
+            d = Blk(ch, dtype=dt, name=n1)(h)
+            d = Blk(ch, dtype=dt, name=n2)(d)
+            d = d + ats
+            return d, max_pool(d)
+
+        ds0, h = enc_level(x, at3, 0, nf, "block_1_1_left", "block_1_2_left")
+        ds1, h = enc_level(h, at2, 1, 2 * nf, "block_2_1_left", "block_2_2_left")
+        ds2, h = enc_level(h, at1, 2, 4 * nf, "block_3_1_left", "block_3_2_left")
+        y = BasicConvEnc(8 * nf, dtype=dt, name="block_4_1_left")(h)
         y = BasicConvEnc(8 * nf, dtype=dt, name="block_4_2_left")(y)
         y = y + attnout
 
         # --- decoder with deep-supervision heads --------------------------
         out3 = Conv(self.n_cls, 1, name="head_d3")(y.astype(jnp.float32))
-        y = jnp.concatenate(
-            [ConvTransposeM(4 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_3")(y), ds2],
-            axis=-1,
-        )
-        y = BasicConvM(4 * nf, dtype=dt, name="block_3_1_right")(y)
-        y = BasicConvM(4 * nf, dtype=dt, name="block_3_2_right")(y)
-        out2 = Conv(self.n_cls, 1, name="head_d2")(y.astype(jnp.float32))
-        y = jnp.concatenate(
-            [ConvTransposeM(2 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_2")(y), ds1],
-            axis=-1,
-        )
-        y = BasicConvM(2 * nf, dtype=dt, name="block_2_1_right")(y)
-        y = BasicConvM(2 * nf, dtype=dt, name="block_2_2_right")(y)
-        out1 = Conv(self.n_cls, 1, name="head_d1")(y.astype(jnp.float32))
-        y = jnp.concatenate(
-            [ConvTransposeM(nf, 3, 2, 1, 1, dtype=dt, name="upconv_1")(y), ds0],
-            axis=-1,
-        )
-        y = BasicConvM(nf, dtype=dt, name="block_1_1_right")(y)
-        y = BasicConvM(nf, dtype=dt, name="block_1_2_right")(y)
-        out0 = Conv(self.n_cls, 1, name="head")(y.astype(jnp.float32))
+
+        def dec_level(y, skip, lvl, ch, up_name, n1, n2, head_name):
+            """One decoder level: transposed-conv upsample, skip concat,
+            conv x2, deep-supervision head. Returns (y_unpacked, head)."""
+            sel = lvl_remat and lvl <= 1
+            Blk = nn.remat(BasicConv) if sel else BasicConvM
+            CT = nn.remat(ConvTranspose) if sel else ConvTransposeM
+            if pk[lvl]:
+                up = CT(
+                    ch, 3, 2, 1, 1, dtype=dt, packed_out=True, name=up_name
+                )(y)
+                yd = concat_packed([up, skip])
+                yd = Blk(ch, dtype=dt, packed=True, name=n1)(yd)
+                yd = Blk(ch, dtype=dt, packed=True, name=n2)(yd)
+                head = unpack(Conv(self.n_cls, 1, packed=True, name=head_name)(yd))
+                return unpack(yd), head
+            yd = jnp.concatenate(
+                [CT(ch, 3, 2, 1, 1, dtype=dt, name=up_name)(y), skip],
+                axis=-1,
+            )
+            yd = Blk(ch, dtype=dt, name=n1)(yd)
+            yd = Blk(ch, dtype=dt, name=n2)(yd)
+            head = Conv(self.n_cls, 1, name=head_name)(yd.astype(jnp.float32))
+            return yd, head
+
+        y, out2 = dec_level(y, ds2, 2, 4 * nf, "upconv_3",
+                            "block_3_1_right", "block_3_2_right", "head_d2")
+        y, out1 = dec_level(y, ds1, 1, 2 * nf, "upconv_2",
+                            "block_2_1_right", "block_2_2_right", "head_d1")
+        y, out0 = dec_level(y, ds0, 0, nf, "upconv_1",
+                            "block_1_1_right", "block_1_2_right", "head")
         return [out0, out1, out2, out3]
 
 

@@ -55,6 +55,11 @@ class Conv(nn.Module):
     """Channels-last conv matching ``torch.nn.ConvNd`` defaults.
 
     Integer ``padding`` is symmetric per-dim zero padding like torch.
+
+    ``packed=True`` runs the conv in the space-to-depth packed layout
+    (ops/s2d.py): input/output are packed-plain (channel-major), the
+    kernel parameter keeps its fine-grid shape, and only SAME 3^d
+    (stride 1) or 1^d convs are supported. Exact same math, MXU-aligned.
     """
 
     features: int
@@ -65,6 +70,7 @@ class Conv(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     dtype: Optional[Dtype] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -73,6 +79,33 @@ class Conv(nn.Module):
         s = _tup(self.strides, nsp)
         p = _tup(self.padding, nsp)
         d = _tup(self.dilation, nsp)
+        if self.packed:
+            from hdenseformer_tpu.ops.s2d import conv1_packed, conv3_packed
+
+            f = 2 ** nsp
+            in_ch = x.shape[-1] // f
+            assert self.feature_group_count == 1 and s == (1,) * nsp
+            assert all(ki in (1, 3) for ki in k) and len(set(k)) == 1
+            fan_in = in_ch * int(np.prod(k))
+            kernel = self.param(
+                "kernel", kaiming_uniform_torch, k + (in_ch, self.features),
+                jnp.float32,
+            )
+            bias = (
+                self.param(
+                    "bias", uniform_bound_init(1.0 / math.sqrt(fan_in)),
+                    (self.features,), jnp.float32,
+                )
+                if self.use_bias
+                else None
+            )
+            dtype = self.dtype or x.dtype
+            if k[0] == 1:
+                return conv1_packed(x, kernel, bias=bias)
+            y = conv3_packed(x, kernel, dtype=dtype)
+            if bias is not None:
+                y = y + jnp.repeat(bias.astype(y.dtype), f)
+            return y
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.feature_group_count) * int(np.prod(k))
         kernel = self.param(
@@ -122,6 +155,7 @@ class ConvTranspose(nn.Module):
     output_padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    packed_out: bool = False  # k3 s2 p1 op1 only: emit s2d-packed output
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -140,6 +174,19 @@ class ConvTranspose(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
+        if self.packed_out:
+            from hdenseformer_tpu.ops.s2d import conv_transpose_packed
+
+            assert k == (3,) * nsp and s == (2,) * nsp
+            assert p == (1,) * nsp and op == (1,) * nsp
+            bias = (
+                self.param(
+                    "bias", uniform_bound_init(bound), (self.features,), jnp.float32
+                )
+                if self.use_bias
+                else None
+            )
+            return conv_transpose_packed(x, kernel, bias=bias, dtype=dtype)
         pad = [(ki - 1 - pi, ki - 1 - pi + opi) for ki, pi, opi in zip(k, p, op)]
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
@@ -204,9 +251,22 @@ class InstanceNorm(nn.Module):
     epsilon: float = 1e-5
     fuse_relu: bool = False
     use_pallas: Optional[bool] = None
+    packed: bool = False  # input is s2d packed-plain (ops/s2d.py)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.packed:
+            from hdenseformer_tpu.ops.s2d import instance_norm_relu_packed
+
+            ch = x.shape[-1] // (2 ** (x.ndim - 2))
+            scale = bias = None
+            if self.affine:
+                scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+                bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+            y = instance_norm_relu_packed(
+                x, scale, bias, self.epsilon, relu=self.fuse_relu
+            )
+            return y
         ch = x.shape[-1]
         scale = bias = None
         if self.affine:
@@ -284,6 +344,7 @@ class BasicConv(nn.Module):
     padding: Union[int, Sequence[int]] = 1
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
+    packed: bool = False  # s2d packed-plain in/out (ops/s2d.py)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -294,10 +355,12 @@ class BasicConv(nn.Module):
             self.padding,
             use_bias=False,
             dtype=self.dtype,
+            packed=self.packed,
             name="conv",
         )(x)
         return InstanceNorm(
-            affine=True, fuse_relu=True, use_pallas=self.use_pallas, name="norm"
+            affine=True, fuse_relu=True, use_pallas=self.use_pallas,
+            packed=self.packed, name="norm",
         )(x)
 
 
