@@ -90,6 +90,7 @@ class ExperimentConfig:
     use_ds: Optional[bool] = None  # None -> auto by net name
     use_pallas: Optional[bool] = None  # None=auto: Pallas kernels on TPU
     remat: bool = True  # rematerialize model blocks (needed for 144^3 batch>=2/chip)
+    s2d: Optional[bool] = None  # None=auto: space-to-depth packed narrow-channel levels
     seed: int = 0
 
     # augmentation selections (same indexing as trainer.py:128-176)
@@ -172,6 +173,7 @@ class ExperimentConfig:
             seed=self.seed,
             use_pallas=self.use_pallas,
             remat=self.remat,
+            s2d=self.s2d,
         )
 
     def setup_trainer_kwargs(self) -> dict:

@@ -19,24 +19,25 @@ def get_net(
     dtype=None,
     use_pallas=None,
     remat: bool = True,
+    s2d=None,
 ):
     input_shape = tuple(input_shape)
     if net_name == "HDenseFormer_32":
         from hdenseformer_tpu.models.hdenseformer import HDenseFormer_32
 
-        return HDenseFormer_32(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat)
+        return HDenseFormer_32(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat, s2d=s2d)
     if net_name == "HDenseFormer_16":
         from hdenseformer_tpu.models.hdenseformer import HDenseFormer_16
 
-        return HDenseFormer_16(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat)
+        return HDenseFormer_16(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat, s2d=s2d)
     if net_name == "HDenseFormer_2D_32":
         from hdenseformer_tpu.models.hdenseformer import HDenseFormer_2D_32
 
-        return HDenseFormer_2D_32(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat)
+        return HDenseFormer_2D_32(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat, s2d=s2d)
     if net_name == "HDenseFormer_2D_16":
         from hdenseformer_tpu.models.hdenseformer import HDenseFormer_2D_16
 
-        return HDenseFormer_2D_16(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat)
+        return HDenseFormer_2D_16(channels, num_classes, input_shape, transformer_depth, dtype=dtype, use_pallas=use_pallas, remat=remat, s2d=s2d)
     if net_name == "hecktor20top1":
         from hdenseformer_tpu.models.hecktor20top1 import hecktertop1
 

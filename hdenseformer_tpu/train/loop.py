@@ -249,6 +249,7 @@ class SemanticSeg:
         use_pallas=None,
         device_augment=False,
         remat=True,
+        s2d=None,
     ):
         self.net_name = net_name
         self.encoder_name = encoder_name
@@ -300,6 +301,7 @@ class SemanticSeg:
             dtype=compute_dtype,
             use_pallas=use_pallas,
             remat=remat,
+            s2d=s2d,
         )
 
         # indexed transform tables, numbering identical to trainer.py:128-176
