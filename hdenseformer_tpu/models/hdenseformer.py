@@ -236,6 +236,23 @@ class HDenseFormer(nn.Module):
         det = not train
         nf = self.n_filters
         dt = self.dtype
+
+        # space-to-depth packing decisions (see `s2d` field): a UNet level
+        # runs packed when it is narrower than the 128 MXU lanes and its
+        # fine grid has even dims.
+        sp = x.shape[1:-1]
+        use_s2d = self.s2d if self.s2d is not None else True
+
+        def lvl_packed(lvl: int) -> bool:
+            ch = (2 ** lvl) * nf
+            fine = [s // (2 ** lvl) for s in sp]
+            even = all(
+                f > 0 and f % 2 == 0 and s % (2 ** lvl) == 0
+                for f, s in zip(fine, sp)
+            )
+            return bool(use_s2d) and ch < 128 and even
+
+        pk = [lvl_packed(i) for i in range(3)]
         # rematerialization: at 144^3 the stored conv activations exceed a
         # single chip's HBM for the backward pass at batch >= 2;
         # remat=True checkpoints every block (fits batch 2, ~2.8x step
@@ -288,7 +305,10 @@ class HDenseFormer(nn.Module):
         attnout = UpConvM(8 * nf, dtype=dt, name="deep_conv")(attnall)  # 1/8
         at1 = UpConvM(4 * nf, dtype=dt, name="up1")(attnout)  # 1/4
         at2 = UpConvM(2 * nf, dtype=dt, name="up2")(at1)  # 1/2
-        at3 = UpConvM(1 * nf, dtype=dt, name="up3")(at2)  # 1/1
+        # up3's full-resolution output is only consumed by the (packed)
+        # level-1 fusion add: emit it packed directly when level 1 is
+        # packed, skipping the fine-grid interpolation + repack.
+        at3 = UpConvM(1 * nf, dtype=dt, packed_out=pk[0], name="up3")(at2)  # 1/1
 
         # --- UNet encoder with additive transformer fusion ----------------
         # Narrow-channel levels run space-to-depth packed (ops/s2d.py):
@@ -297,32 +317,22 @@ class HDenseFormer(nn.Module):
         # fine grid. Levels with >= 128 channels are already lane-full.
         from hdenseformer_tpu.ops.s2d import concat_packed, max_pool_packed, pack, unpack
 
-        sp = x.shape[1:-1]
-        use_s2d = self.s2d if self.s2d is not None else True
-
-        def lvl_packed(lvl: int) -> bool:
-            ch = (2 ** lvl) * nf
-            fine = [s // (2 ** lvl) for s in sp]
-            even = all(f > 0 and f % 2 == 0 and s % (2 ** lvl) == 0 for f, s in zip(fine, sp))
-            return bool(use_s2d) and ch < 128 and even
-
-        pk = [lvl_packed(i) for i in range(3)]
-
-        def enc_level(h, ats, lvl, ch, n1, n2):
+        def enc_level(h, ats, lvl, ch, n1, n2, ats_packed=False):
             """One encoder level: conv x2 (+transformer fusion), skip + pool."""
             Blk = nn.remat(BasicConv) if (lvl_remat and lvl <= 1) else BasicConvEnc
             if pk[lvl]:
                 hp = pack(h)
                 d = Blk(ch, dtype=dt, packed=True, name=n1)(hp)
                 d = Blk(ch, dtype=dt, packed=True, name=n2)(d)
-                d = d + pack(ats)
+                d = d + (ats if ats_packed else pack(ats))
                 return d, max_pool_packed(d)
             d = Blk(ch, dtype=dt, name=n1)(h)
             d = Blk(ch, dtype=dt, name=n2)(d)
             d = d + ats
             return d, max_pool(d)
 
-        ds0, h = enc_level(x, at3, 0, nf, "block_1_1_left", "block_1_2_left")
+        ds0, h = enc_level(x, at3, 0, nf, "block_1_1_left", "block_1_2_left",
+                           ats_packed=pk[0])
         ds1, h = enc_level(h, at2, 1, 2 * nf, "block_2_1_left", "block_2_2_left")
         ds2, h = enc_level(h, at1, 2, 4 * nf, "block_3_1_left", "block_3_2_left")
         y = BasicConvEnc(8 * nf, dtype=dt, name="block_4_1_left")(h)

@@ -373,6 +373,7 @@ class UpConv(nn.Module):
     features: int
     scale: int = 2
     dtype: Optional[Dtype] = None
+    packed_out: bool = False  # scale 2 only: emit s2d packed-plain output
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -380,6 +381,11 @@ class UpConv(nn.Module):
 
         x = Conv(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv")(x)
         x = InstanceNorm(affine=False, fuse_relu=True, name="norm")(x)
+        if self.packed_out:
+            from hdenseformer_tpu.ops.s2d import upsample2x_packed
+
+            assert self.scale == 2
+            return upsample2x_packed(x)
         return upsample_linear(x, self.scale)
 
 

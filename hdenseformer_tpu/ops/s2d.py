@@ -268,6 +268,39 @@ def instance_norm_relu_packed(
     return y.reshape(xp.shape).astype(xp.dtype)
 
 
+def upsample2x_packed(x: Array) -> Array:
+    """x2 half-pixel linear upsample (torch ``align_corners=False``), with
+    the fine output emitted directly in packed-plain layout.
+
+    Per dim: out_fine[2j] = 0.25 in[j-1] + 0.75 in[j] and
+    out_fine[2j+1] = 0.75 in[j] + 0.25 in[j+1] (edge-clamped) — exactly
+    ``ops/resize.py::upsample_linear`` composed with ``pack``, but as a
+    handful of shifted adds on the coarse grid instead of fine-grid
+    interpolation + repacking.
+    """
+    nsp = x.ndim - 2
+    t = x
+    for d in range(nsp):
+        ax = 1 + d
+        pad = [(0, 0)] * t.ndim
+        pad[ax] = (1, 1)
+        tp = jnp.pad(t, pad, mode="edge")
+        g = t.shape[ax]
+
+        def sl(a, b):
+            return tuple(
+                slice(a, b) if i == ax else slice(None) for i in range(t.ndim)
+            )
+
+        lo = tp[sl(0, g)]
+        hi = tp[sl(2, g + 2)]
+        even = 0.25 * lo + 0.75 * t
+        odd = 0.75 * t + 0.25 * hi
+        t = jnp.stack([even, odd], axis=-1)
+    # (N, *g, C, p0, ..., p_{nsp-1}) -> channel-major packed
+    return t.reshape(t.shape[: 1 + nsp] + (-1,))
+
+
 def concat_packed(tensors) -> Array:
     """Channel concat in packed space (channel-major order makes the
     per-p interleave a reshape+concat+reshape)."""

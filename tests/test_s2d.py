@@ -125,3 +125,15 @@ def test_packed_chain_grad_flows():
 
     g = jax.grad(f)(w)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_upsample2x_packed_matches_fine():
+    from hdenseformer_tpu.ops.resize import upsample_linear
+    from hdenseformer_tpu.ops.s2d import upsample2x_packed
+
+    rng = np.random.RandomState(8)
+    for nsp in (2, 3):
+        x = jnp.asarray(rng.randn(2, *(6,) * nsp, 5).astype(np.float32))
+        ref = pack(upsample_linear(x, 2))
+        got = upsample2x_packed(x)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
