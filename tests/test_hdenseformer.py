@@ -100,3 +100,51 @@ def test_forward_parity_with_reference_weights():
     for ref_o, got_o in zip(ref_outs, got_outs):
         got_nchw = np.moveaxis(np.asarray(got_o), -1, 1)
         np.testing.assert_allclose(got_nchw, ref_o, rtol=2e-3, atol=2e-4)
+
+
+def test_remat_levels_mode_trains():
+    """remat='levels' (checkpoint only the two big levels) runs fwd+bwd."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hdenseformer_tpu.models import get_net
+
+    model = get_net(
+        "HDenseFormer_32", channels=2, num_classes=2, input_shape=(16, 16, 16),
+        transformer_depth=8, remat="levels",
+    )
+    x = jnp.zeros((1, 16, 16, 16, 2), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss_fn(p):
+        outs = model.apply({"params": p}, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_s2d_off_matches_on_f32():
+    """The packed execution path is numerically equivalent to fine-grid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hdenseformer_tpu.models import get_net
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 2).astype(np.float32))
+    outs = {}
+    for s2d in (False, True):
+        model = get_net(
+            "HDenseFormer_32", channels=2, num_classes=2, input_shape=(16, 16, 16),
+            transformer_depth=8, remat=False, s2d=s2d,
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+        outs[s2d] = model.apply(variables, x, train=False)
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
