@@ -250,7 +250,11 @@ class HDenseFormer(nn.Module):
                 f > 0 and f % 2 == 0 and s % (2 ** lvl) == 0
                 for f, s in zip(fine, sp)
             )
-            return bool(use_s2d) and ch < 128 and even
+            if isinstance(use_s2d, (tuple, list)):
+                enabled = lvl in use_s2d  # explicit level selection
+            else:
+                enabled = bool(use_s2d)
+            return enabled and ch < 128 and even
 
         pk = [lvl_packed(i) for i in range(3)]
         # rematerialization: at 144^3 the stored conv activations exceed a
