@@ -104,7 +104,7 @@ class Conv(nn.Module):
                 return conv1_packed(x, kernel, bias=bias)
             y = conv3_packed(x, kernel, dtype=dtype)
             if bias is not None:
-                y = y + jnp.repeat(bias.astype(y.dtype), f)
+                y = y + jnp.tile(bias.astype(y.dtype), f)  # parity-major
             return y
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.feature_group_count) * int(np.prod(k))

@@ -8,24 +8,32 @@ pads 32->128, reaching ~10 TF/s of the chip's 123 TF/s matmul ceiling
 space-to-depth: each 2^d fine-grid block becomes a channel group, so a
 144^3 x 32ch activation flows as 72^3 x 256ch — fully lane-aligned.
 
-Under this layout (channel-major packed order: packed index = c * 2^d + p,
-p = fine offset bits):
+Packed order is PARITY-MAJOR: packed index = p * C + c, where p is the
+fine-offset bit pattern (p_z p_y p_x) and c the original channel. This
+makes every per-parity channel block a CONTIGUOUS lane range, so the
+half-shift gather (``plain_to_shifted``) is 2^d contiguous lane slices
+instead of stride-2^d lane gathers — the difference between cheap lane
+rotations and full relayouts on TPU (the first, channel-major, cut of
+this module benchmarked SLOWER end-to-end for exactly that reason).
+
+Under this layout:
 
 - a SAME 3^d conv on the fine grid == a VALID 2^d conv on the coarse grid
   with a structurally-expanded kernel (``expand_kernel``) applied to the
-  half-shifted packing (``plain_to_shifted``). Exact same sums, different
-  order — measured 2.4x faster fwd+bwd at 144^3 x 32ch on v5e;
+  half-shifted packing. Exact same sums, different order — measured 2.4x
+  faster fwd+bwd at 144^3 x 32ch on v5e in isolation;
 - a k2 s2 maxpool == a max over the p axis (``max_pool_packed``) — this
   also eliminates XLA's 3-D select-and-scatter backward (29 ms/step in
   the round-1 profile);
 - a k3 s2 p1 op1 ConvTranspose (decoder upsample,
   models/HDenseFormer.py:211-219) == a VALID k2 conv from the coarse grid
-  into packed fine channels (``conv_transpose_packed`` via
-  ``expand_kernel_transpose``) — no input dilation at all;
-- a 1^d conv (deep-supervision heads) == a grouped per-p matmul
-  (``conv1_packed``);
-- InstanceNorm reduces over (spatial, p) per original channel
-  (``instance_norm_relu_packed``).
+  into packed fine channels (``conv_transpose_packed``) — no input
+  dilation at all;
+- a 1^d conv (deep-supervision heads) == ONE matmul with a
+  block-diagonal expanded weight (``conv1_packed``) — no data reshuffle;
+- InstanceNorm (``instance_norm_relu_packed``) reduces over spatial only,
+  then regroups the per-packed-channel moments on a length-2^d*C vector —
+  the (c, p) regroup never touches the activation tensor.
 
 The expansion carries a 2^(2d)*2^d/3^d FLOP redundancy (2.37x for d=3:
 64 dense vs 27 useful taps) but runs at full MXU utilization, a large
@@ -59,7 +67,8 @@ def _tap_factor(transpose: bool) -> np.ndarray:
 
     Forward (SAME k3): shifted input cell u in {0,1} holds fine positions
     2j + 2u + p - 1; output fine position 2j + q needs kernel tap
-    t = (2u + p - 1) - q in {-1, 0, 1}, i.e. kernel index k = t + 1.
+    t = (2u + p - 1) - q in {-1, 0, 1}, i.e. kernel index k = t + 1 =
+    2u + p - q.
 
     Transpose (torch ConvTranspose k3 s2 p1 op1): output fine position
     o = 2j + q receives in[i] * w[k] where o = 2i + k - 1; with coarse
@@ -79,13 +88,13 @@ def _tap_factor(transpose: bool) -> np.ndarray:
 
 def expand_kernel(w: Array) -> Array:
     """(3,..,3, C, Co) fine SAME-conv kernel -> (2,..,2, 2^d*C, 2^d*Co)
-    packed VALID-conv kernel (channel-major packed order)."""
+    packed VALID-conv kernel (parity-major packed order)."""
     nsp = w.ndim - 2
     A = jnp.asarray(_tap_factor(False), w.dtype)
     if nsp == 3:
-        Wp = jnp.einsum("aPQk,bRSl,cTUm,klmio->abciPRToQSU", A, A, A, w)
+        Wp = jnp.einsum("aPQk,bRSl,cTUm,klmio->abcPRTiQSUo", A, A, A, w)
     else:
-        Wp = jnp.einsum("aPQk,bRSl,klio->abiPRoQS", A, A, w)
+        Wp = jnp.einsum("aPQk,bRSl,klio->abPRiQSo", A, A, w)
     C, Co = w.shape[-2], w.shape[-1]
     f = 2 ** nsp
     return Wp.reshape((2,) * nsp + (f * C, f * Co))
@@ -106,15 +115,15 @@ def expand_kernel_transpose(w: Array) -> Array:
     wt = jnp.flip(w, axis=tuple(range(nsp)))  # back to torch tap order
     A = jnp.asarray(_tap_factor(True)[:, 0], w.dtype)  # (u, q, k)
     if nsp == 3:
-        Wp = jnp.einsum("aQk,bSl,cUm,klmio->abcioQSU", A, A, A, wt)
+        Wp = jnp.einsum("aQk,bSl,cUm,klmio->abciQSUo", A, A, A, wt)
     else:
-        Wp = jnp.einsum("aQk,bSl,klio->abioQS", A, A, wt)
+        Wp = jnp.einsum("aQk,bSl,klio->abiQSo", A, A, wt)
     C, Co = w.shape[-2], w.shape[-1]
     return Wp.reshape((2,) * nsp + (C, (2 ** nsp) * Co))
 
 
 def pack(x: Array) -> Array:
-    """(N, *fine, C) -> (N, *fine/2, C * 2^d), channel-major packed."""
+    """(N, *fine, C) -> (N, *fine/2, 2^d * C), parity-major packed."""
     nsp = x.ndim - 2
     n, c = x.shape[0], x.shape[-1]
     g = tuple(s // 2 for s in x.shape[1:-1])
@@ -123,9 +132,12 @@ def pack(x: Array) -> Array:
         shape += (gs, 2)
     shape += (c,)
     xp = x.reshape(shape)
-    # (n, g0, 2, g1, 2, ..., c) -> (n, g0, g1, ..., c, 2, 2, ...)
-    perm = (0,) + tuple(1 + 2 * i for i in range(nsp)) + (1 + 2 * nsp,) + tuple(
-        2 + 2 * i for i in range(nsp)
+    # (n, g0, 2, g1, 2, ..., c) -> (n, g0, g1, ..., 2, 2, ..., c)
+    perm = (
+        (0,)
+        + tuple(1 + 2 * i for i in range(nsp))
+        + tuple(2 + 2 * i for i in range(nsp))
+        + (1 + 2 * nsp,)
     )
     xp = xp.transpose(perm)
     return xp.reshape((n,) + g + (c * 2 ** nsp,))
@@ -137,12 +149,12 @@ def unpack(xp: Array) -> Array:
     f = 2 ** nsp
     c = c8 // f
     g = xp.shape[1:-1]
-    x = xp.reshape((n,) + tuple(g) + (c,) + (2,) * nsp)
-    # (n, g..., c, p...) -> (n, g0, p0, g1, p1, ..., c)
+    x = xp.reshape((n,) + tuple(g) + (2,) * nsp + (c,))
+    # (n, g..., p..., c) -> (n, g0, p0, g1, p1, ..., c)
     perm = (0,)
     for i in range(nsp):
-        perm += (1 + i, 2 + nsp + i)
-    perm += (1 + nsp,)
+        perm += (1 + i, 1 + nsp + i)
+    perm += (1 + 2 * nsp,)
     x = x.transpose(perm)
     return x.reshape((n,) + tuple(2 * s for s in g) + (c,))
 
@@ -150,42 +162,43 @@ def unpack(xp: Array) -> Array:
 def plain_to_shifted(xp: Array) -> Array:
     """Packed-plain (cells cover fine [2j, 2j+1]) -> packed-shifted
     (cells cover fine [2j-1, 2j], one extra cell per dim, zero-padded
-    boundary == the fine conv's SAME padding)."""
+    boundary == the fine conv's SAME padding).
+
+    Parity-major: the target block p' copies the source block (1 - p'),
+    a CONTIGUOUS C-channel lane range, from the neighbor cell j + p' - 1.
+    """
     nsp = xp.ndim - 2
     n, c8 = xp.shape[0], xp.shape[-1]
     f = 2 ** nsp
     c = c8 // f
     g = xp.shape[1:-1]
-    xr = xp.reshape((n,) + tuple(g) + (c,) + (2,) * nsp)
-    pad = ((0, 0),) + ((1, 1),) * nsp + ((0, 0),) * (1 + nsp)
-    xr = jnp.pad(xr, pad)
-    # shifted[j, c, p'] = plain[j + p' - 1, c, 1 - p']  (per dim)
+    pad = ((0, 0),) + ((1, 1),) * nsp + ((0, 0),)
+    xr = jnp.pad(xp, pad)
     pieces = []
     for mask in range(f):
         pbits = [(mask >> (nsp - 1 - i)) & 1 for i in range(nsp)]
+        src = f - 1 - mask  # block (1-p'_z, 1-p'_y, 1-p'_x)
         idx = (slice(None),)
         for i, pb in enumerate(pbits):
-            # padded coords: j in [0, g+1]; want source j + pb - 1 for
+            # padded coords: j in [-1, g]; want source j + pb - 1 for
             # shifted j in [0, g], i.e. padded range [pb, pb + g + 1)
             idx += (slice(pb, pb + g[i] + 1),)
-        idx += (slice(None),) + tuple(1 - pb for pb in pbits)
+        idx += (slice(src * c, (src + 1) * c),)
         pieces.append(xr[idx])
-    out = jnp.stack(pieces, axis=-1)  # (n, *(g+1), c, f)
-    return out.reshape((n,) + tuple(s + 1 for s in g) + (c8,))
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def conv3_packed(xp: Array, w: Array, dtype=None) -> Array:
     """SAME 3^d conv on the fine grid, computed in packed space.
 
-    xp: packed-plain (N, *g, C*2^d); w: fine kernel (3,..,3, C, Co).
-    Returns packed-plain (N, *g, Co*2^d).
+    xp: packed-plain (N, *g, 2^d*C); w: fine kernel (3,..,3, C, Co).
+    Returns packed-plain (N, *g, 2^d*Co).
     """
     nsp = xp.ndim - 2
     dt = dtype or xp.dtype
     # The shifted copy is pure data movement; recompute it in the backward
-    # pass instead of keeping a second (g+1)^d x 8C residual alive per
-    # conv (~200 MB each at 144^3 x 32ch — the difference between the
-    # packed train step fitting 16 GB HBM or not).
+    # pass instead of keeping a second (g+1)^d x 2^d C residual alive per
+    # conv (~200 MB each at 144^3 x 32ch).
     xs = jax.checkpoint(plain_to_shifted)(xp)
     wexp = expand_kernel(w).astype(dt)
     return jax.lax.conv_general_dilated(
@@ -199,7 +212,7 @@ def conv_transpose_packed(x: Array, w_equiv: Array, bias=None, dtype=None) -> Ar
 
     x: UNPACKED coarse grid (N, *g, C); w_equiv: the equivalent-conv
     kernel stored by models/layers.py::ConvTranspose. Returns
-    packed-plain (N, *g, Co*2^d) on the same coarse grid = the 2x fine
+    packed-plain (N, *g, 2^d*Co) on the same coarse grid = the 2x fine
     grid. Coarse taps are {j, j+1}: pad high side by one cell.
     """
     nsp = x.ndim - 2
@@ -211,35 +224,37 @@ def conv_transpose_packed(x: Array, w_equiv: Array, bias=None, dtype=None) -> Ar
     )
     if bias is not None:
         f = 2 ** nsp
-        co = w_equiv.shape[-1]
-        y = y + jnp.repeat(bias.astype(dt), f)
+        y = y + jnp.tile(bias.astype(y.dtype), f)
     return y
 
 
 def conv1_packed(xp: Array, w1: Array, bias=None) -> Array:
-    """1^d conv (e.g. a deep-supervision head) in packed space, fp32."""
-    nsp = xp.ndim - 2
-    f = 2 ** nsp
-    c8 = xp.shape[-1]
-    c = c8 // f
-    co = w1.shape[-1]
-    x32 = xp.astype(jnp.float32)
-    xr = x32.reshape(xp.shape[:-1] + (c, f))
-    w = w1.reshape(c, co).astype(jnp.float32)
-    y = jnp.einsum("...cf,co->...of", xr, w)
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)[..., None]
-    return y.reshape(xp.shape[:-1] + (co * f,))
+    """1^d conv (e.g. a deep-supervision head) in packed space, fp32.
 
-
-def max_pool_packed(xp: Array) -> Array:
-    """k2 s2 maxpool of the fine grid == max over the p axis. Returns the
-    UNPACKED coarse grid (which is the next stage's fine grid)."""
+    Lowered as ONE (2^d C, 2^d Co) matmul with a block-diagonal expanded
+    weight — no activation reshuffling at all.
+    """
     nsp = xp.ndim - 2
     f = 2 ** nsp
     c = xp.shape[-1] // f
-    xr = xp.reshape(xp.shape[:-1] + (c, f))
-    return jnp.max(xr, axis=-1)
+    co = w1.shape[-1]
+    w = w1.reshape(c, co).astype(jnp.float32)
+    eye = jnp.eye(f, dtype=jnp.float32)
+    wexp = jnp.einsum("pq,co->pcqo", eye, w).reshape(f * c, f * co)
+    y = jnp.dot(xp.astype(jnp.float32), wexp)
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(jnp.float32), f)
+    return y
+
+
+def max_pool_packed(xp: Array) -> Array:
+    """k2 s2 maxpool of the fine grid == a max over the p axis. Returns
+    the UNPACKED coarse grid (which is the next stage's fine grid)."""
+    nsp = xp.ndim - 2
+    f = 2 ** nsp
+    c = xp.shape[-1] // f
+    xr = xp.reshape(xp.shape[:-1] + (f, c))
+    return jnp.max(xr, axis=-2)
 
 
 def instance_norm_relu_packed(
@@ -249,23 +264,34 @@ def instance_norm_relu_packed(
     epsilon: float = 1e-5,
     relu: bool = True,
 ) -> Array:
-    """InstanceNorm(+affine)+ReLU over the fine grid, in packed space:
-    statistics per (sample, original channel) reduce over (spatial, p)."""
+    """InstanceNorm(+affine)+ReLU over the fine grid, in packed space.
+
+    Statistics per (sample, original channel) reduce over (spatial, p) —
+    computed as per-PACKED-channel spatial moments (a standard lane-wise
+    reduction) followed by the (p, c) regroup on the length-2^d*C moment
+    vectors, so the activation tensor itself is never reshuffled.
+    """
     nsp = xp.ndim - 2
     f = 2 ** nsp
     c = xp.shape[-1] // f
-    x32 = xp.astype(jnp.float32).reshape(xp.shape[:-1] + (c, f))
-    axes = tuple(range(1, xp.ndim - 1)) + (xp.ndim,)
-    mean = jnp.mean(x32, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + epsilon)
+    x32 = xp.astype(jnp.float32)
+    axes = tuple(range(1, xp.ndim - 1))
+    m1 = jnp.mean(x32, axis=axes)  # (N, f*C) per packed channel
+    m2 = jnp.mean(jnp.square(x32), axis=axes)
+    mean_c = jnp.mean(m1.reshape(-1, f, c), axis=1)  # (N, C)
+    m2_c = jnp.mean(m2.reshape(-1, f, c), axis=1)
+    var_c = m2_c - jnp.square(mean_c)
+    mean = jnp.tile(mean_c, (1, f))  # back to packed channels
+    inv = jnp.tile(jax.lax.rsqrt(var_c + epsilon), (1, f))
+    shape = (xp.shape[0],) + (1,) * nsp + (f * c,)
+    y = (x32 - mean.reshape(shape)) * inv.reshape(shape)
     if scale is not None:
-        y = y * scale.astype(jnp.float32)[..., None]
+        y = y * jnp.tile(scale.astype(jnp.float32), f)
     if bias is not None:
-        y = y + bias.astype(jnp.float32)[..., None]
+        y = y + jnp.tile(bias.astype(jnp.float32), f)
     if relu:
         y = jnp.maximum(y, 0.0)
-    return y.reshape(xp.shape).astype(xp.dtype)
+    return y.astype(xp.dtype)
 
 
 def upsample2x_packed(x: Array) -> Array:
@@ -296,16 +322,16 @@ def upsample2x_packed(x: Array) -> Array:
         hi = tp[sl(2, g + 2)]
         even = 0.25 * lo + 0.75 * t
         odd = 0.75 * t + 0.25 * hi
-        t = jnp.stack([even, odd], axis=-1)
-    # (N, *g, C, p0, ..., p_{nsp-1}) -> channel-major packed
+        # parity axes accumulate BEFORE the channel axis (parity-major)
+        t = jnp.stack([even, odd], axis=1 + nsp + d)
     return t.reshape(t.shape[: 1 + nsp] + (-1,))
 
 
 def concat_packed(tensors) -> Array:
-    """Channel concat in packed space (channel-major order makes the
-    per-p interleave a reshape+concat+reshape)."""
+    """Channel concat in packed space: per-parity interleave of the
+    constituent channel blocks."""
     nsp = tensors[0].ndim - 2
     f = 2 ** nsp
-    parts = [t.reshape(t.shape[:-1] + (t.shape[-1] // f, f)) for t in tensors]
-    out = jnp.concatenate(parts, axis=-2)
-    return out.reshape(out.shape[:-2] + (out.shape[-2] * f,))
+    parts = [t.reshape(t.shape[:-1] + (f, t.shape[-1] // f)) for t in tensors]
+    out = jnp.concatenate(parts, axis=-1)
+    return out.reshape(out.shape[:-2] + (-1,))
