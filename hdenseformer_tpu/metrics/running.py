@@ -21,12 +21,27 @@ Array = jax.Array
 def confusion_matrix_device(
     ground_truth: Array, prediction: Array, num_classes: int
 ) -> Array:
-    """CxC confusion matrix (rows = truth, cols = prediction) on device."""
+    """CxC confusion matrix (rows = truth, cols = prediction) on device.
+
+    Lowered as C^2 masked reductions instead of a scatter-add: XLA's
+    serialized scatter over millions of voxels cost 18 ms/step on v5e
+    (round-2 trace, fusion.9); plain boolean-product reductions are
+    bandwidth-bound VPU work that fuses with the surrounding step.
+    """
     gt = ground_truth.reshape(-1).astype(jnp.int32)
     pr = prediction.reshape(-1).astype(jnp.int32)
-    idx = gt * num_classes + pr
-    flat = jnp.zeros((num_classes * num_classes,), jnp.int32).at[idx].add(1)
-    return flat.reshape(num_classes, num_classes)
+    if num_classes > 8:
+        # one-hot contraction rides the MXU for wide class counts
+        gh = jax.nn.one_hot(gt, num_classes, dtype=jnp.float32)
+        ph = jax.nn.one_hot(pr, num_classes, dtype=jnp.float32)
+        return jnp.einsum("vi,vj->ij", gh, ph).astype(jnp.int32)
+    rows = []
+    for i in range(num_classes):
+        gi = (gt == i)
+        rows.append(
+            [jnp.sum(gi & (pr == j), dtype=jnp.int32) for j in range(num_classes)]
+        )
+    return jnp.array(rows, dtype=jnp.int32)
 
 
 class _RunningBase:
