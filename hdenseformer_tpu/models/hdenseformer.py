@@ -252,6 +252,13 @@ class HDenseFormer(nn.Module):
             )
             if isinstance(use_s2d, (tuple, list)):
                 enabled = lvl in use_s2d  # explicit level selection
+            elif self.s2d is None:
+                # auto: only levels at <= 32 channels win on v5e — at 64ch
+                # the fine conv is already ~half-efficient and the packed
+                # expansion's 2.37x FLOP overhead + shift copies lose
+                # (measured 144^3: L1-only 367 ms vs both-levels 385 ms
+                # vs unpacked 453 ms; PARITY.md round-2 record)
+                enabled = ch <= 32
             else:
                 enabled = bool(use_s2d)
             return enabled and ch < 128 and even
