@@ -33,6 +33,9 @@ _BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baselines", "cpu_torch
 
 
 def main():
+    from hdenseformer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

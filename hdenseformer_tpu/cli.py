@@ -266,6 +266,11 @@ def main(argv=None):
     if args.mode == "convert":
         run_convert(args)
         return
+    # persistent XLA compilation cache: only the first-ever process pays a
+    # given (program, shape) compile; reruns load the serialized executable
+    from hdenseformer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = make_config(args)
     cfg.profile_dir = args.profile  # type: ignore[attr-defined]
     if args.mode == "train-cross":

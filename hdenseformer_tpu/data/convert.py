@@ -83,6 +83,39 @@ def _map_coordinates_resize(array: np.ndarray, new_size, order: int) -> np.ndarr
     )
 
 
+_SINC_WINDOWS = {
+    # window(x/m) for |x| <= m (ITK WindowedSincInterpolateImageFunction
+    # window family, radius m=3 like the sitk interpolator typedefs)
+    "hamming_sinc": lambda u: 0.54 + 0.46 * np.cos(np.pi * u),
+    "cosine_sinc": lambda u: np.cos(np.pi * u / 2.0),
+    "welch_sinc": lambda u: 1.0 - u * u,
+    "lanczos_sinc": lambda u: np.sinc(u),
+    "blackman_sinc": lambda u: 0.42 + 0.5 * np.cos(np.pi * u)
+    + 0.08 * np.cos(2.0 * np.pi * u),
+}
+
+
+def _kernel_resize(array: np.ndarray, new_size, kernel, radius: float) -> np.ndarray:
+    """Separable kernel resample on the reference's corner-aligned grid
+    (input position = i_out * old / new, the ResampleImageFilter mapping
+    with preserved origin). Weights are normalized per output sample."""
+    out = array.astype(np.float32)
+    for ax, (ns, sh) in enumerate(zip(new_size, array.shape)):
+        pos = np.arange(ns) * (sh / ns)  # (ns,)
+        lo = np.ceil(pos - radius).astype(int)
+        taps = np.arange(int(2 * radius) + 1)
+        j = lo[:, None] + taps[None, :]  # (ns, ntaps) input indices
+        x = pos[:, None] - j
+        w = kernel(x) * (np.abs(x) <= radius)
+        w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        jc = np.clip(j, 0, sh - 1)
+        moved = np.moveaxis(out, ax, 0)  # (sh, ...)
+        gathered = moved[jc]  # (ns, ntaps, ...)
+        res = np.einsum("nt,nt...->n...", w.astype(np.float32), gathered)
+        out = np.moveaxis(res, 0, ax)
+    return out
+
+
 def resample_image(
     array: np.ndarray,
     spacing: Sequence[float],
@@ -90,13 +123,19 @@ def resample_image(
     new_size: Optional[Sequence[int]] = None,
     is_label: bool = False,
     interpolator: str = "linear",
+    gaussian_sigma: float = 0.8,
 ) -> Tuple[np.ndarray, Tuple[float, ...]]:
     """Resample (z,y,x) array to a new spacing or explicit size.
 
     Equivalent of converter/utils.py:98-177: exactly one of new_spacing /
     new_size; ``interpolator`` mirrors the reference's selectable sitk
     interpolators — 'linear' (default), 'nearest', 'bspline' (cubic
-    spline, sitk.sitkBSpline) — labels always resample nearest.
+    spline), 'gaussian' (separable gaussian kernel, sigma in voxels),
+    'label_gaussian' (per-class gaussian smoothing + argmax), and the
+    windowed-sinc family 'hamming_sinc' / 'cosine_sinc' / 'welch_sinc' /
+    'lanczos_sinc' / 'blackman_sinc' (radius-3 kernels like ITK's
+    WindowedSincInterpolateImageFunction). ``is_label=True`` always
+    resamples nearest (identical to the converters' usage).
     """
     if (new_spacing is None) == (new_size is None):
         raise ValueError("specify exactly one of new_spacing / new_size")
@@ -120,9 +159,35 @@ def resample_image(
         out = resize_half_pixel(array.astype(np.float32), new_size, order=1)
     elif interpolator == "bspline":
         out = _map_coordinates_resize(array, new_size, order=3)
+    elif interpolator == "gaussian":
+        out = _kernel_resize(
+            array, new_size,
+            kernel=lambda x: np.exp(-0.5 * (x / gaussian_sigma) ** 2),
+            radius=max(3.0 * gaussian_sigma, 1.0),
+        )
+    elif interpolator == "label_gaussian":
+        labels = np.unique(array)
+        smoothed = np.stack([
+            _kernel_resize(
+                (array == lab).astype(np.float32), new_size,
+                kernel=lambda x: np.exp(-0.5 * (x / gaussian_sigma) ** 2),
+                radius=max(3.0 * gaussian_sigma, 1.0),
+            )
+            for lab in labels
+        ])
+        out = labels[np.argmax(smoothed, axis=0)].astype(array.dtype)
+    elif interpolator in _SINC_WINDOWS:
+        m = 3.0
+        window = _SINC_WINDOWS[interpolator]
+        out = _kernel_resize(
+            array, new_size,
+            kernel=lambda x: np.sinc(x) * window(np.clip(x / m, -1.0, 1.0)),
+            radius=m,
+        )
     else:
         raise ValueError(
-            f"unknown interpolator {interpolator!r}; options: linear/nearest/bspline"
+            f"unknown interpolator {interpolator!r}; options: linear/nearest/"
+            f"bspline/gaussian/label_gaussian/" + "/".join(_SINC_WINDOWS)
         )
     return out, out_spacing
 

@@ -34,6 +34,7 @@ from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -44,6 +45,64 @@ def _flatten_batch(x: Array) -> Array:
     return x.reshape(x.shape[0], -1)
 
 
+# ---------------------------------------------------------------------------
+# Sample weighting (pad-and-mask batches).
+#
+# Every loss accepts ``sample_weight``: a (N,) vector of 1.0 (real sample) /
+# 0.0 (padding). Batches that don't divide the device mesh are padded with
+# cyclic repeats of real samples and masked here, so the compiled step keeps
+# ONE static shape for every batch of an epoch while the loss (and its
+# gradients) equal the unpadded computation exactly. ``None`` keeps the
+# original unweighted code paths bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _per_sample_reduce(loss_vec: Array, reduction: str, k: int, sample_weight):
+    """Reduce a per-sample loss vector under an optional sample mask."""
+    if sample_weight is None:
+        if reduction == "mean":
+            return jnp.mean(loss_vec)
+        if reduction == "sum":
+            return jnp.sum(loss_vec)
+        if reduction == "topk":
+            n = loss_vec.shape[0]
+            kk = max(int(n * k / 100), 1)
+            top, _ = jax.lax.top_k(loss_vec, kk)
+            return jnp.mean(top)
+        if reduction == "none":
+            return loss_vec
+        raise ValueError(f"Unexpected reduction {reduction}")
+    w = sample_weight.astype(jnp.float32)
+    if reduction == "mean":
+        return jnp.sum(loss_vec * w) / jnp.maximum(jnp.sum(w), 1.0)
+    if reduction == "sum":
+        return jnp.sum(loss_vec * w)
+    if reduction == "topk":
+        return _masked_topk_mean(loss_vec, w, k=k)
+    if reduction == "none":
+        return loss_vec * w
+    raise ValueError(f"Unexpected reduction {reduction}")
+
+
+def _masked_topk_mean(flat: Array, flat_w: Array, k: int):
+    """Mean of the top-k% REAL entries of ``flat`` under mask ``flat_w``.
+
+    Matches the unmasked ``top_k`` semantics exactly: masked entries sort
+    last (set to -1e30), the static top list is over the padded length, and
+    a data-dependent prefix ``kk_real = floor(n_real * k / 100)`` selects
+    the true top set. (Counting in int32: a float32 sum of >2^24 ones is
+    inexact.)
+    """
+    n_pad = flat.shape[0]
+    kk_pad = max(int(n_pad * k / 100), 1)
+    masked = jnp.where(flat_w > 0, flat, -1e30)
+    top, _ = jax.lax.top_k(masked, kk_pad)
+    n_real = jnp.sum((flat_w > 0).astype(jnp.int32))
+    kk_real = jnp.clip(n_real * k // 100, 1, kk_pad)
+    sel = jnp.arange(kk_pad) < kk_real
+    return jnp.sum(jnp.where(sel, top, 0.0)) / kk_real.astype(jnp.float32)
+
+
 def binary_dice_loss(
     predict: Array,
     target: Array,
@@ -51,6 +110,7 @@ def binary_dice_loss(
     p: int = 1,
     reduction: str = "mean",
     k: int = 50,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Soft dice loss on probabilities, per reference loss/dice_loss.py:5-50.
 
@@ -62,18 +122,7 @@ def binary_dice_loss(
     inter = jnp.sum(predict * target, axis=1)
     union = jnp.sum(predict**p + target**p, axis=1)
     loss = 1.0 - (2.0 * inter + smooth) / (union + smooth)
-    if reduction == "mean":
-        return jnp.mean(loss)
-    if reduction == "sum":
-        return jnp.sum(loss)
-    if reduction == "topk":
-        n = loss.shape[0]
-        kk = max(int(n * k / 100), 1)
-        top, _ = jax.lax.top_k(loss, kk)
-        return jnp.mean(top)
-    if reduction == "none":
-        return loss
-    raise ValueError(f"Unexpected reduction {reduction}")
+    return _per_sample_reduce(loss, reduction, k, sample_weight)
 
 
 def dice_loss(
@@ -84,6 +133,7 @@ def dice_loss(
     smooth: float = 1e-5,
     p: int = 1,
     reduction: str = "mean",
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Multi-class softmax dice (reference loss/dice_loss.py:53-87).
 
@@ -98,7 +148,10 @@ def dice_loss(
         num_classes, target.shape[0], -1
     )
     per_class = jax.vmap(
-        lambda a, b: binary_dice_loss(a, b, smooth=smooth, p=p, reduction=reduction)
+        lambda a, b: binary_dice_loss(
+            a, b, smooth=smooth, p=p, reduction=reduction,
+            sample_weight=sample_weight,
+        )
     )(pr, tg)
     class_mask = jnp.ones((num_classes,), jnp.float32)
     if ignore_index is not None:
@@ -115,6 +168,7 @@ def cross_entropy_loss(
     logits: Array,
     target: Array,
     weight: Optional[Sequence[float]] = None,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Softmax CE vs argmax(one-hot target), mean over voxels.
 
@@ -126,9 +180,16 @@ def cross_entropy_loss(
     labels = jnp.argmax(target, axis=-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    wsel = None
     if weight is not None:
-        w = jnp.asarray(weight, jnp.float32)
-        wsel = w[labels]
+        wsel = jnp.asarray(weight, jnp.float32)[labels]
+    if sample_weight is not None:
+        sw = sample_weight.astype(jnp.float32).reshape(
+            (-1,) + (1,) * (nll.ndim - 1)
+        )
+        wsel = jnp.broadcast_to(sw, nll.shape) if wsel is None else wsel * sw
+        return jnp.sum(nll * wsel) / jnp.maximum(jnp.sum(wsel), 1e-8)
+    if wsel is not None:
         return jnp.sum(nll * wsel) / jnp.sum(wsel)
     return jnp.mean(nll)
 
@@ -138,6 +199,7 @@ def topk_loss(
     target: Array,
     weight: Optional[Sequence[float]] = None,
     k: int = 10,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Mean CE over the hardest k% of voxels (reference loss/cross_entropy.py:26-43).
 
@@ -152,6 +214,12 @@ def topk_loss(
         w = jnp.asarray(weight, jnp.float32)
         nll = nll * w[labels]
     flat = nll.reshape(-1)
+    if sample_weight is not None:
+        sw = sample_weight.astype(jnp.float32).reshape(
+            (-1,) + (1,) * (nll.ndim - 1)
+        )
+        flat_w = jnp.broadcast_to(sw, nll.shape).reshape(-1)
+        return _masked_topk_mean(flat, flat_w, k=k)
     kk = max(int(flat.shape[0] * k / 100), 1)
     top, _ = jax.lax.top_k(flat, kk)
     return jnp.mean(top)
@@ -163,6 +231,7 @@ def focal_loss(
     alpha: float = 1.0,
     gamma: float = 2.0,
     reduction: str = "sum",
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Focal loss on softmax probabilities (reference loss/cross_entropy.py:45-71).
 
@@ -186,11 +255,26 @@ def focal_loss(
     if alpha >= 0:
         alpha_t = alpha * target + (1.0 - alpha) * (1.0 - target)
         loss = alpha_t * loss
+    return _elementwise_reduce(loss, reduction, sample_weight)
+
+
+def _elementwise_reduce(loss: Array, reduction: str, sample_weight):
+    """mean/sum over all elements, under an optional per-sample mask."""
+    if sample_weight is None:
+        if reduction == "mean":
+            return jnp.mean(loss)
+        if reduction == "sum":
+            return jnp.sum(loss)
+        return loss
+    sw = sample_weight.astype(jnp.float32).reshape(
+        (-1,) + (1,) * (loss.ndim - 1)
+    )
     if reduction == "mean":
-        return jnp.mean(loss)
+        per_sample = float(np.prod(loss.shape[1:]))
+        return jnp.sum(loss * sw) / jnp.maximum(jnp.sum(sw) * per_sample, 1e-8)
     if reduction == "sum":
-        return jnp.sum(loss)
-    return loss
+        return jnp.sum(loss * sw)
+    return loss * sw
 
 
 def fl_loss(
@@ -200,6 +284,7 @@ def fl_loss(
     gamma: float = 2.0,
     reduction: str = "sum",
     eps: float = 1e-5,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Manual-log focal variant (reference FLLoss, loss/cross_entropy.py:76-103)."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -211,11 +296,7 @@ def fl_loss(
     if alpha >= 0:
         alpha_t = alpha * target + (1.0 - alpha) * (1.0 - target)
         loss = alpha_t * loss
-    if reduction == "mean":
-        return jnp.mean(loss)
-    if reduction == "sum":
-        return jnp.sum(loss)
-    return loss
+    return _elementwise_reduce(loss, reduction, sample_weight)
 
 
 def ce_plus_dice(
@@ -223,10 +304,14 @@ def ce_plus_dice(
     target: Array,
     weight: Optional[Sequence[float]] = None,
     ignore_index: Optional[int] = None,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """CE + softmax dice (reference loss/combine_loss.py:8-35)."""
-    return cross_entropy_loss(logits, target, weight=weight) + dice_loss(
-        logits, target, weight=weight, ignore_index=ignore_index
+    return cross_entropy_loss(
+        logits, target, weight=weight, sample_weight=sample_weight
+    ) + dice_loss(
+        logits, target, weight=weight, ignore_index=ignore_index,
+        sample_weight=sample_weight,
     )
 
 
@@ -235,17 +320,22 @@ def fl_plus_dice(
     target: Array,
     weight: Optional[Sequence[float]] = None,
     ignore_index: Optional[int] = None,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """FocalLoss(mean) + softmax dice (reference loss/combine_loss.py:37-64)."""
-    return focal_loss(logits, target, reduction="mean") + dice_loss(
-        logits, target, weight=weight, ignore_index=ignore_index
+    return focal_loss(
+        logits, target, reduction="mean", sample_weight=sample_weight
+    ) + dice_loss(
+        logits, target, weight=weight, ignore_index=ignore_index,
+        sample_weight=sample_weight,
     )
 
 
 def deep_supervision_loss(
-    loss_fn: Callable[[Array, Array], Array],
+    loss_fn: Callable[..., Array],
     outputs: Sequence[Array],
     target: Array,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Deep-supervision combine: sum_i loss(out_i, resize(target)) / 2^i.
 
@@ -257,7 +347,9 @@ def deep_supervision_loss(
     total = jnp.float32(0.0)
     for i, out in enumerate(outputs):
         tgt = resize_nearest(target, out.shape[1:-1])
-        total = total + loss_fn(out, tgt) * (1.0 / (2.0**i))
+        total = total + loss_fn(out, tgt, sample_weight=sample_weight) * (
+            1.0 / (2.0**i)
+        )
     return total
 
 
@@ -296,15 +388,15 @@ def get_loss(
         raise ValueError(f"unknown loss {loss_fun!r}; options: {sorted(LOSS_REGISTRY)}")
     base = LOSS_REGISTRY[loss_fun](class_weight=class_weight, topk=topk)
     if not use_ds:
-        def loss(outputs, target):
+        def loss(outputs, target, sample_weight=None):
             if isinstance(outputs, (list, tuple)):
                 outputs = outputs[0]
-            return base(outputs, target)
+            return base(outputs, target, sample_weight=sample_weight)
         return loss
 
-    def ds_loss(outputs, target):
+    def ds_loss(outputs, target, sample_weight=None):
         if not isinstance(outputs, (list, tuple)):
             outputs = [outputs]
-        return deep_supervision_loss(base, outputs, target)
+        return deep_supervision_loss(base, outputs, target, sample_weight=sample_weight)
 
     return ds_loss

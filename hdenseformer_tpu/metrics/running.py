@@ -19,7 +19,7 @@ Array = jax.Array
 
 @partial(jax.jit, static_argnames=("num_classes",))
 def confusion_matrix_device(
-    ground_truth: Array, prediction: Array, num_classes: int
+    ground_truth: Array, prediction: Array, num_classes: int, sample_weight=None
 ) -> Array:
     """CxC confusion matrix (rows = truth, cols = prediction) on device.
 
@@ -27,17 +27,31 @@ def confusion_matrix_device(
     serialized scatter over millions of voxels cost 18 ms/step on v5e
     (round-2 trace, fusion.9); plain boolean-product reductions are
     bandwidth-bound VPU work that fuses with the surrounding step.
+
+    ``sample_weight`` (N,) of 1/0 excludes padded samples' voxels
+    (pad-and-mask batches); inputs are then (N, *spatial).
     """
+    if sample_weight is not None:
+        n = ground_truth.shape[0]
+        mask = (sample_weight > 0).reshape((n,) + (1,) * (ground_truth.ndim - 1))
+        mask = jnp.broadcast_to(mask, ground_truth.shape).reshape(-1)
     gt = ground_truth.reshape(-1).astype(jnp.int32)
     pr = prediction.reshape(-1).astype(jnp.int32)
     if num_classes > 8:
-        # one-hot contraction rides the MXU for wide class counts
-        gh = jax.nn.one_hot(gt, num_classes, dtype=jnp.float32)
-        ph = jax.nn.one_hot(pr, num_classes, dtype=jnp.float32)
-        return jnp.einsum("vi,vj->ij", gh, ph).astype(jnp.int32)
+        # one-hot contraction rides the MXU for wide class counts.
+        # Accumulate in int32 (preferred_element_type): an fp32 contraction
+        # would silently lose counts past 2^24 voxels per cell (e.g. a
+        # 144^3 batch >= 6), and TPU default matmul precision would apply.
+        gh = jax.nn.one_hot(gt, num_classes, dtype=jnp.int8)
+        ph = jax.nn.one_hot(pr, num_classes, dtype=jnp.int8)
+        if sample_weight is not None:
+            gh = gh * mask[:, None].astype(jnp.int8)
+        return jnp.einsum(
+            "vi,vj->ij", gh, ph, preferred_element_type=jnp.int32
+        )
     rows = []
     for i in range(num_classes):
-        gi = (gt == i)
+        gi = (gt == i) if sample_weight is None else ((gt == i) & mask)
         rows.append(
             [jnp.sum(gi & (pr == j), dtype=jnp.int32) for j in range(num_classes)]
         )

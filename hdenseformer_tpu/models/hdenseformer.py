@@ -227,8 +227,11 @@ class HDenseFormer(nn.Module):
     remat: bool = True
     dtype: Optional[jnp.dtype] = None
     # space-to-depth packed execution of the narrow-channel UNet levels
-    # (ops/s2d.py): None/True = pack every level with < 128 channels and
-    # even dims (exact same math, MXU-aligned on TPU), False = off.
+    # (ops/s2d.py — exact same math, MXU-aligned on TPU). None = auto:
+    # pack only <=32-channel levels (the measured v5e sweet spot; at 64ch
+    # full-rank packing loses, see lvl_packed below). True = pack every
+    # even-dim level with < 128 channels. False = off. A tuple of level
+    # indices selects levels explicitly.
     s2d: Optional[bool] = None
 
     @nn.compact

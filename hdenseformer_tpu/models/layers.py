@@ -86,6 +86,11 @@ class Conv(nn.Module):
             in_ch = x.shape[-1] // f
             assert self.feature_group_count == 1 and s == (1,) * nsp
             assert all(ki in (1, 3) for ki in k) and len(set(k)) == 1
+            # packed conv3 implements SAME padding-1 (conv1 padding-0) by
+            # construction; anything else would be silently miscomputed
+            assert p == ((1,) * nsp if k[0] == 3 else (0,) * nsp), (
+                f"packed conv{k[0]} requires padding={'1' if k[0] == 3 else '0'}, got {p}"
+            )
             fan_in = in_ch * int(np.prod(k))
             kernel = self.param(
                 "kernel", kaiming_uniform_torch, k + (in_ch, self.features),

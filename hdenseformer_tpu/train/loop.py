@@ -150,10 +150,13 @@ def _train_step_fn(criterion, num_classes: int, augment_fn=None):
 
     def train_step(state: TrainState, batch: Dict, dropout_rng: jax.Array):
         rng = jax.random.fold_in(dropout_rng, state.step)
+        sw = batch.get("weight")  # (N,) 1/0 pad-and-mask vector, or None
         if augment_fn is not None:
             aug_rng = jax.random.fold_in(jax.random.fold_in(dropout_rng, 777), state.step)
             image, label = augment_fn(aug_rng, batch["image"], batch["label"])
             batch = {"image": image, "label": label}
+            if sw is not None:
+                batch["weight"] = sw
         mutable = list(state.model_state.keys())
 
         def loss_fn(params):
@@ -171,7 +174,7 @@ def _train_step_fn(criterion, num_classes: int, augment_fn=None):
                     rngs={"dropout": rng},
                 )
                 new_model_state = {}
-            loss = criterion(outs, batch["label"])
+            loss = criterion(outs, batch["label"], sample_weight=sw)
             logits = outs[0] if isinstance(outs, (list, tuple)) else outs
             return loss, (logits, new_model_state)
 
@@ -180,9 +183,10 @@ def _train_step_fn(criterion, num_classes: int, augment_fn=None):
         )(state.params)
         state = state.apply_gradients(grads, model_state=dict(new_model_state))
         logits = logits.astype(jnp.float32)
-        dice = compute_dice(logits, batch["label"])
+        dice = compute_dice(logits, batch["label"], sample_weight=sw)
         cm = confusion_matrix_device(
-            jnp.argmax(batch["label"], -1), jnp.argmax(logits, -1), num_classes
+            jnp.argmax(batch["label"], -1), jnp.argmax(logits, -1), num_classes,
+            sample_weight=sw,
         )
         return state, {"loss": loss.astype(jnp.float32), "dice": dice, "cm": cm}
 
@@ -192,13 +196,15 @@ def _train_step_fn(criterion, num_classes: int, augment_fn=None):
 def make_eval_step(criterion, num_classes: int):
     @jax.jit
     def eval_step(state: TrainState, batch: Dict):
+        sw = batch.get("weight")
         outs = state.apply_fn(state.variables(), batch["image"], train=False)
-        loss = criterion(outs, batch["label"])
+        loss = criterion(outs, batch["label"], sample_weight=sw)
         logits = outs[0] if isinstance(outs, (list, tuple)) else outs
         logits = logits.astype(jnp.float32)
-        dice = compute_dice(logits, batch["label"])
+        dice = compute_dice(logits, batch["label"], sample_weight=sw)
         cm = confusion_matrix_device(
-            jnp.argmax(batch["label"], -1), jnp.argmax(logits, -1), num_classes
+            jnp.argmax(batch["label"], -1), jnp.argmax(logits, -1), num_classes,
+            sample_weight=sw,
         )
         return {"loss": loss.astype(jnp.float32), "dice": dice, "cm": cm}
 
@@ -489,8 +495,8 @@ class SemanticSeg:
             val_path, roi_number=self.roi_number, num_class=self.num_classes,
             transform=val_tfm, img_key=self.key_touple[0], lab_key=self.key_touple[1],
         )
-        # No samples are ever dropped on multi-device runs: batches that
-        # don't divide the mesh are executed replicated (see _put_batch),
+        # No samples are ever dropped on multi-device runs: every batch is
+        # padded-and-masked to one fixed sharded shape (see _put_batch),
         # so train/val metrics are identical for any device count.
         train_loader = BatchLoader(
             train_ds, self.batch_size, shuffle=True,
@@ -572,19 +578,27 @@ class SemanticSeg:
         return history
 
     def _put_batch(self, batch, mesh):
-        """Batch-shard over the mesh, or replicate when the batch doesn't
-        divide the device count (the last partial batch of an epoch).
+        """Pad-and-mask batch sharding: every batch is padded (with cyclic
+        repeats of its real samples) to ONE fixed size — the nominal batch
+        size rounded up to the device count — plus a ``weight`` vector of
+        1/0 masking the padding out of loss, dice and confusion matrix.
 
-        Replicating the remainder keeps metrics bit-identical to a
-        single-device run instead of silently dropping samples.
+        No samples are ever dropped, the compiled step sees a single
+        static shape for the whole run (no per-remainder recompiles, no
+        replicated execution), and the masked math equals the unpadded
+        computation exactly (see losses.losses sample_weight).
         """
         n_dev = int(np.prod(mesh.devices.shape))
-        if batch["image"].shape[0] % n_dev == 0:
-            return shard_batch(mesh, batch)
-        from hdenseformer_tpu.parallel.mesh import replicated_sharding
-
-        sharding = replicated_sharding(mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+        b = batch["image"].shape[0]
+        pad_to = -(-max(self.batch_size, b) // n_dev) * n_dev
+        w = np.zeros((pad_to,), np.float32)
+        w[:b] = 1.0
+        if b < pad_to:
+            idx = np.arange(pad_to) % b
+            batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
+        batch = dict(batch)
+        batch["weight"] = w
+        return shard_batch(mesh, batch)
 
     def _run_epoch(self, state, loader, step_fn, epoch, mesh, dropout_rng, train: bool):
         loss_meter, dice_meter = AverageMeter(), AverageMeter()

@@ -147,3 +147,39 @@ def test_resample_bspline_interpolator():
                                out_l[4:-4, 4:-4, 4:-4], rtol=5e-3, atol=0.1)
     with _pytest.raises(ValueError, match="interpolator"):
         resample_image(ramp, (1, 1, 1), new_size=(4, 4, 4), interpolator="sinc")
+
+
+def test_resample_interpolator_family():
+    """Full sitk-style interpolator surface (ref converter/utils.py:120-141):
+    gaussian / label_gaussian / windowed-sinc kernels resample correctly."""
+    import numpy as np
+    from hdenseformer_tpu.data.convert import resample_image
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((12, 14, 16)).astype(np.float32)
+    # corner-aligned identity: same-size sinc resample returns the input
+    for interp in ("lanczos_sinc", "hamming_sinc", "cosine_sinc",
+                   "welch_sinc", "blackman_sinc"):
+        out, sp = resample_image(a, (1, 1, 1), new_size=a.shape, interpolator=interp)
+        np.testing.assert_allclose(out, a, atol=1e-4), interp
+        assert sp == (1.0, 1.0, 1.0)
+    # gaussian preserves constants under any size change
+    c = np.full((10, 10, 10), 2.5, np.float32)
+    out, _ = resample_image(c, (1, 1, 1), new_size=(7, 9, 11), interpolator="gaussian")
+    assert out.shape == (7, 9, 11)
+    np.testing.assert_allclose(out, 2.5, atol=1e-5)
+    # label_gaussian emits only input labels, keeps dtype
+    lab = rng.integers(0, 3, (12, 12, 12)).astype(np.int16)
+    out, _ = resample_image(lab, (1, 1, 1), new_size=(6, 6, 6), interpolator="label_gaussian")
+    assert set(np.unique(out)) <= {0, 1, 2} and out.dtype == np.int16
+    # smooth data: lanczos agrees with linear to a few percent
+    ramp = np.linspace(0, 1, 20, dtype=np.float32)[:, None, None] * np.ones((1, 8, 8), np.float32)
+    o1, _ = resample_image(ramp, (1, 1, 1), new_size=(13, 5, 5), interpolator="lanczos_sinc")
+    o2, _ = resample_image(ramp, (1, 1, 1), new_size=(13, 5, 5), interpolator="linear")
+    assert np.abs(o1 - o2).max() < 0.06
+    # unknown interpolator raises with the option list
+    try:
+        resample_image(a, (1, 1, 1), new_size=(4, 4, 4), interpolator="nope")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "lanczos_sinc" in str(e)

@@ -356,3 +356,66 @@ def test_val_metrics_identical_any_device_count(tmp_path):
         np.testing.assert_allclose(
             histories[1][key], histories[8][key], rtol=5e-5, atol=1e-6,
         ), key
+
+
+def test_pad_and_mask_no_extra_compiles_across_epochs(tmp_path, monkeypatch):
+    """Remainder batches are padded-and-masked to ONE static shape, so a
+    3-epoch run triggers EXACTLY as many XLA compilations as a 1-epoch run
+    (VERDICT r2: no per-remainder recompiles, no replicated execution).
+    7 cases / batch 3 -> per-epoch batches of 3,3,1, all padded to one
+    sharded shape."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    paths = make_dataset_dir(
+        str(tmp_path / "data"), n_cases=7, shape=(16, 16), channels=2, num_classes=2
+    )
+    from jax._src import compiler
+
+    compiles = []
+    orig = compiler.compile_or_get_cached
+
+    def counting_compile(*a, **kw):
+        compiles.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(compiler, "compile_or_get_cached", counting_compile)
+
+    counts = {}
+    for n_epoch in (1, 3):
+        compiles.clear()
+        seg = _tiny_seg(n_epoch=n_epoch)
+        seg.trainer(
+            train_path=paths,
+            val_path=paths,
+            cur_fold=1,
+            output_dir=str(tmp_path / f"ckpt{n_epoch}"),
+            log_dir=str(tmp_path / f"log{n_epoch}"),
+            optimizer="Adam",
+            loss_fun="FocalLoss",
+            lr_scheduler="poly_lr",
+            use_ds=True,
+            n_devices=8,
+        )
+        counts[n_epoch] = len(compiles)
+    assert counts[3] == counts[1], counts
+
+
+def test_pad_and_mask_batch_shapes(tmp_path):
+    """_put_batch pads every batch (incl. full ones) to the same shape and
+    masks padding; padded samples are cyclic repeats of real ones."""
+    from hdenseformer_tpu.parallel.mesh import make_mesh
+
+    seg = _tiny_seg()
+    mesh = make_mesh(8 if len(jax.devices()) >= 8 else 1)
+    n_dev = int(np.prod(mesh.devices.shape))
+    full = {"image": np.random.rand(3, 16, 16, 2).astype(np.float32),
+            "label": np.zeros((3, 16, 16, 2), np.float32)}
+    rem = {"image": full["image"][:2], "label": full["label"][:2]}
+    pb_full = jax.device_get(seg._put_batch(dict(full), mesh))
+    pb_rem = jax.device_get(seg._put_batch(dict(rem), mesh))
+    assert pb_full["image"].shape == pb_rem["image"].shape
+    assert pb_full["weight"].sum() == 3 and pb_rem["weight"].sum() == 2
+    pad_to = pb_rem["image"].shape[0]
+    assert pad_to % n_dev == 0
+    # cyclic repeats
+    np.testing.assert_array_equal(pb_rem["image"][2], rem["image"][0])
