@@ -332,12 +332,17 @@ class HDenseFormer(nn.Module):
         from hdenseformer_tpu.ops.s2d import concat_packed, max_pool_packed, pack, unpack
 
         def enc_level(h, ats, lvl, ch, n1, n2, ats_packed=False):
-            """One encoder level: conv x2 (+transformer fusion), skip + pool."""
+            """One encoder level: conv x2 (+transformer fusion), skip + pool.
+
+            Packed levels run the shift-free conv pair: the first conv
+            emits the half-SHIFTED layout, its norm masks the pad slots,
+            and the second conv consumes it directly — zero shift
+            materializations (ops/s2d.py::conv3_packed_p2s/_s2p)."""
             Blk = nn.remat(BasicConv) if (lvl_remat and lvl <= 1) else BasicConvEnc
             if pk[lvl]:
                 hp = pack(h)
-                d = Blk(ch, dtype=dt, packed=True, name=n1)(hp)
-                d = Blk(ch, dtype=dt, packed=True, name=n2)(d)
+                d = Blk(ch, dtype=dt, packed=True, shift="out", name=n1)(hp)
+                d = Blk(ch, dtype=dt, packed=True, shift="in", name=n2)(d)
                 d = d + (ats if ats_packed else pack(ats))
                 return d, max_pool_packed(d)
             d = Blk(ch, dtype=dt, name=n1)(h)
@@ -354,7 +359,11 @@ class HDenseFormer(nn.Module):
         y = y + attnout
 
         # --- decoder with deep-supervision heads --------------------------
-        out3 = Conv(self.n_cls, 1, name="head_d3")(y.astype(jnp.float32))
+        # heads read the bf16 activations directly and emit f32 via MXU
+        # f32 accumulation (Conv.out_f32 / ops.s2d.conv1_packed) — an
+        # explicit f32 cast of the full-resolution inputs cost a
+        # materialized copy (round-3 trace, baselines/profile_notes.md)
+        out3 = Conv(self.n_cls, 1, out_f32=True, name="head_d3")(y)
 
         def dec_level(y, skip, lvl, ch, up_name, n1, n2, head_name):
             """One decoder level: transposed-conv upsample, skip concat,
@@ -367,8 +376,8 @@ class HDenseFormer(nn.Module):
                     ch, 3, 2, 1, 1, dtype=dt, packed_out=True, name=up_name
                 )(y)
                 yd = concat_packed([up, skip])
-                yd = Blk(ch, dtype=dt, packed=True, name=n1)(yd)
-                yd = Blk(ch, dtype=dt, packed=True, name=n2)(yd)
+                yd = Blk(ch, dtype=dt, packed=True, shift="out", name=n1)(yd)
+                yd = Blk(ch, dtype=dt, packed=True, shift="in", name=n2)(yd)
                 head = unpack(Conv(self.n_cls, 1, packed=True, name=head_name)(yd))
                 return unpack(yd), head
             yd = jnp.concatenate(
@@ -377,7 +386,7 @@ class HDenseFormer(nn.Module):
             )
             yd = Blk(ch, dtype=dt, name=n1)(yd)
             yd = Blk(ch, dtype=dt, name=n2)(yd)
-            head = Conv(self.n_cls, 1, name=head_name)(yd.astype(jnp.float32))
+            head = Conv(self.n_cls, 1, out_f32=True, name=head_name)(yd)
             return yd, head
 
         y, out2 = dec_level(y, ds2, 2, 4 * nf, "upconv_3",

@@ -60,6 +60,13 @@ class Conv(nn.Module):
     (ops/s2d.py): input/output are packed-plain (channel-major), the
     kernel parameter keeps its fine-grid shape, and only SAME 3^d
     (stride 1) or 1^d convs are supported. Exact same math, MXU-aligned.
+
+    ``packed_shift`` (k3 packed only) selects the shift-free conv pair:
+    ``'out'`` consumes packed-plain and EMITS the packed-SHIFTED layout
+    (conv3_packed_p2s — the consumer must mask the pad slots, which
+    InstanceNorm(shifted=True) does); ``'in'`` consumes packed-shifted
+    and emits packed-plain (conv3_packed_s2p). Chaining 'out' -> norm ->
+    'in' executes two fine SAME convs with zero shift materializations.
     """
 
     features: int
@@ -71,6 +78,11 @@ class Conv(nn.Module):
     feature_group_count: int = 1
     dtype: Optional[Dtype] = None
     packed: bool = False
+    packed_shift: Optional[str] = None  # None | 'out' | 'in'
+    # emit f32 with f32 MXU accumulation while reading the activation in
+    # its (bf16) compute dtype — for logits heads, where casting the
+    # full-resolution input to f32 first costs a materialized copy
+    out_f32: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -80,7 +92,12 @@ class Conv(nn.Module):
         p = _tup(self.padding, nsp)
         d = _tup(self.dilation, nsp)
         if self.packed:
-            from hdenseformer_tpu.ops.s2d import conv1_packed, conv3_packed
+            from hdenseformer_tpu.ops.s2d import (
+                conv1_packed,
+                conv3_packed,
+                conv3_packed_p2s,
+                conv3_packed_s2p,
+            )
 
             f = 2 ** nsp
             in_ch = x.shape[-1] // f
@@ -91,6 +108,8 @@ class Conv(nn.Module):
             assert p == ((1,) * nsp if k[0] == 3 else (0,) * nsp), (
                 f"packed conv{k[0]} requires padding={'1' if k[0] == 3 else '0'}, got {p}"
             )
+            assert self.packed_shift in (None, "out", "in")
+            assert self.packed_shift is None or k[0] == 3
             fan_in = in_ch * int(np.prod(k))
             kernel = self.param(
                 "kernel", kaiming_uniform_torch, k + (in_ch, self.features),
@@ -107,8 +126,15 @@ class Conv(nn.Module):
             dtype = self.dtype or x.dtype
             if k[0] == 1:
                 return conv1_packed(x, kernel, bias=bias)
-            y = conv3_packed(x, kernel, dtype=dtype)
+            conv = {
+                None: conv3_packed,
+                "out": conv3_packed_p2s,
+                "in": conv3_packed_s2p,
+            }[self.packed_shift]
+            y = conv(x, kernel, dtype=dtype)
             if bias is not None:
+                # 'out': bias lands on pad slots too; the consumer's
+                # shifted-aware norm masks them before use
                 y = y + jnp.tile(bias.astype(y.dtype), f)  # parity-major
             return y
         in_ch = x.shape[-1]
@@ -120,15 +146,24 @@ class Conv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=s,
-            padding=[(pi, pi) for pi in p],
-            rhs_dilation=d,
-            dimension_numbers=_dim_numbers(nsp),
-            feature_group_count=self.feature_group_count,
-        )
+        if self.out_f32:
+            from hdenseformer_tpu.ops.s2d import dot_f32out
+
+            assert k == (1,) * nsp and s == (1,) * nsp and p == (0,) * nsp
+            assert self.feature_group_count == 1
+            y = dot_f32out(
+                x.astype(dtype), kernel.reshape(in_ch, self.features).astype(dtype)
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=s,
+                padding=[(pi, pi) for pi in p],
+                rhs_dilation=d,
+                dimension_numbers=_dim_numbers(nsp),
+                feature_group_count=self.feature_group_count,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -136,7 +171,7 @@ class Conv(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
-            y = y + bias.astype(dtype)
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -243,13 +278,17 @@ class InstanceNorm(nn.Module):
     both train and eval time — so this is a pure function. Statistics in
     fp32 regardless of input dtype.
 
-    A fused Pallas kernel exists (ops/instance_norm.py; 2.5x vs XLA when
-    benchmarked STANDALONE at 144^3 x 32ch) but is default-OFF in-model:
-    the end-to-end train-step benchmark regressed 2x with it enabled —
-    XLA already fuses the normalize+relu into the conv epilogue inside the
-    compiled step, and the kernel's custom-VJP recompute adds backward
-    passes. Set ``use_pallas=True`` explicitly to re-evaluate on new
-    hardware/compiler versions.
+    Default path is ``ops/fused_norm.instance_norm_relu``: a custom_vjp
+    whose forward is plain fusable XLA (so the normalize+relu still melts
+    into the conv epilogue) but whose only tensor residual is the bf16
+    input — under autodiff XLA instead saved a full-resolution fp32
+    ``x.astype(f32)`` copy and re-traversed it in several unfused passes
+    (~72 ms of the round-3 144^3 train step, baselines/profile_notes.md).
+
+    A fused Pallas kernel also exists (ops/instance_norm.py; 2.5x vs XLA
+    when benchmarked STANDALONE at 144^3 x 32ch) but is benchmark-gated
+    OFF in-model (it regressed the end-to-end step 2x). Set
+    ``use_pallas=True`` explicitly to re-evaluate on new hardware.
     """
 
     affine: bool = True
@@ -257,22 +296,18 @@ class InstanceNorm(nn.Module):
     fuse_relu: bool = False
     use_pallas: Optional[bool] = None
     packed: bool = False  # input is s2d packed-plain (ops/s2d.py)
+    # input is s2d packed-SHIFTED (conv3_packed_p2s output): stats exclude
+    # the pad slots and the output re-zeroes them, so it feeds directly
+    # into a Conv(packed_shift='in')
+    shifted: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        if self.packed:
-            from hdenseformer_tpu.ops.s2d import instance_norm_relu_packed
+        from hdenseformer_tpu.ops.fused_norm import instance_norm_relu as fused
 
-            ch = x.shape[-1] // (2 ** (x.ndim - 2))
-            scale = bias = None
-            if self.affine:
-                scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
-                bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
-            y = instance_norm_relu_packed(
-                x, scale, bias, self.epsilon, relu=self.fuse_relu
-            )
-            return y
-        ch = x.shape[-1]
+        assert not self.shifted or self.packed
+        parity = 2 ** (x.ndim - 2) if self.packed else 1
+        ch = x.shape[-1] // parity
         scale = bias = None
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
@@ -281,23 +316,22 @@ class InstanceNorm(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = False  # benchmark-gated OFF (see class docstring)
-        if use_pallas and jax.default_backend() == "tpu" and x.ndim >= 3:
+        if (
+            use_pallas
+            and not self.packed
+            and jax.default_backend() == "tpu"
+            and x.ndim >= 3
+        ):
             from hdenseformer_tpu.ops.instance_norm import instance_norm_relu
 
             return instance_norm_relu(
                 x, scale, bias, self.epsilon, relu=self.fuse_relu, use_pallas=True
             ).astype(x.dtype)
 
-        axes = tuple(range(1, x.ndim - 1))
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        if self.affine:
-            y = y * scale + bias
-        if self.fuse_relu:
-            y = jnp.maximum(y, 0.0)
-        return y.astype(x.dtype)
+        return fused(
+            x, scale, bias, self.epsilon, relu=self.fuse_relu, parity=parity,
+            shifted=self.shifted,
+        )
 
 
 class LayerNorm(nn.Module):
@@ -350,6 +384,11 @@ class BasicConv(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
     packed: bool = False  # s2d packed-plain in/out (ops/s2d.py)
+    # packed k3 shift-free pair (ops/s2d.py): 'out' emits the half-shifted
+    # layout (the norm masks its pad slots), 'in' consumes it. Chain a
+    # shift='out' block into a shift='in' block to run two fine SAME convs
+    # with zero shift materializations.
+    shift: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -361,11 +400,12 @@ class BasicConv(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             packed=self.packed,
+            packed_shift=self.shift,
             name="conv",
         )(x)
         return InstanceNorm(
             affine=True, fuse_relu=True, use_pallas=self.use_pallas,
-            packed=self.packed, name="norm",
+            packed=self.packed, shifted=self.shift == "out", name="norm",
         )(x)
 
 

@@ -49,9 +49,10 @@ def test_plain_to_shifted_boundary_is_same_padding():
     x = jnp.ones((1, 4, 4, 4, 1), jnp.float32)
     xs = plain_to_shifted(pack(x))
     assert xs.shape == (1, 3, 3, 3, 8)
-    # corner cell (0,0,0): only the p=(1,1,1) fine position is interior
+    # corner cell (0,0,0): block p reads source cell -p, so only the
+    # p=(0,0,0) block is interior (position-preserving layout)
     corner = np.asarray(xs[0, 0, 0, 0])
-    assert corner[-1] == 1.0 and corner[:-1].sum() == 0.0
+    assert corner[0] == 1.0 and corner[1:].sum() == 0.0
 
 
 def test_conv_transpose_packed_matches_equiv():
@@ -137,3 +138,94 @@ def test_upsample2x_packed_matches_fine():
         ref = pack(upsample_linear(x, 2))
         got = upsample2x_packed(x)
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# shift-free conv pair: plain->shifted (p2s) and shifted->plain (s2p)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_conv3_p2s_matches_shifted_fine(nsp):
+    """p2s output (after pad-slot masking) == plain_to_shifted(fine conv)."""
+    from hdenseformer_tpu.ops.s2d import apply_shifted_mask, conv3_packed_p2s
+
+    rng = np.random.RandomState(7)
+    C, Co, D = 3, 5, 12
+    x = jnp.asarray(rng.randn(2, *(D,) * nsp, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(*(3,) * nsp, C, Co).astype(np.float32) * 0.2)
+    ref = plain_to_shifted(
+        pack(
+            jax.lax.conv_general_dilated(
+                x, w, (1,) * nsp, [(1, 1)] * nsp, dimension_numbers=_dn(nsp)
+            )
+        )
+    )
+    got = apply_shifted_mask(conv3_packed_p2s(pack(x), w))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_conv3_s2p_on_shifted_input_matches_fine(nsp):
+    """s2p on a plain_to_shifted input == conv3_packed (which shifts itself)."""
+    from hdenseformer_tpu.ops.s2d import conv3_packed_s2p
+
+    rng = np.random.RandomState(8)
+    C, Co, D = 4, 4, 10
+    x = jnp.asarray(rng.randn(1, *(D,) * nsp, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(*(3,) * nsp, C, Co).astype(np.float32) * 0.2)
+    xp = pack(x)
+    np.testing.assert_allclose(
+        conv3_packed_s2p(plain_to_shifted(xp), w),
+        conv3_packed(xp, w),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_p2s_s2p_chain_equals_two_fine_convs(nsp):
+    """conv(p2s) -> mask -> conv(s2p) == two fine SAME convs, grads incl."""
+    from hdenseformer_tpu.ops.s2d import (
+        apply_shifted_mask,
+        conv3_packed_p2s,
+        conv3_packed_s2p,
+    )
+
+    rng = np.random.RandomState(9)
+    C, Cm, Co, D = 3, 6, 4, 8
+    x = jnp.asarray(rng.randn(2, *(D,) * nsp, C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(*(3,) * nsp, C, Cm).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.randn(*(3,) * nsp, Cm, Co).astype(np.float32) * 0.2)
+
+    def fine(x, w1, w2):
+        y = jax.lax.conv_general_dilated(
+            x, w1, (1,) * nsp, [(1, 1)] * nsp, dimension_numbers=_dn(nsp)
+        )
+        return jax.lax.conv_general_dilated(
+            y, w2, (1,) * nsp, [(1, 1)] * nsp, dimension_numbers=_dn(nsp)
+        )
+
+    def packed(x, w1, w2):
+        ys = apply_shifted_mask(conv3_packed_p2s(pack(x), w1))
+        return unpack(conv3_packed_s2p(ys, w2))
+
+    np.testing.assert_allclose(
+        packed(x, w1, w2), fine(x, w1, w2), rtol=1e-4, atol=1e-4
+    )
+    loss_f = lambda fn: lambda *a: jnp.sum(fn(*a) ** 2)
+    gf = jax.grad(loss_f(fine), argnums=(0, 1, 2))(x, w1, w2)
+    gp = jax.grad(loss_f(packed), argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(gf, gp):
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
+
+
+def test_shifted_mask_factors_match_plain_to_shifted_zeros():
+    """The factored mask zeroes exactly the slots plain_to_shifted pads."""
+    from hdenseformer_tpu.ops.s2d import apply_shifted_mask
+
+    x = jnp.asarray(np.ones((1, 6, 6, 6, 2), np.float32))
+    xs = plain_to_shifted(pack(x))  # zeros exactly at pad slots
+    ones = jnp.ones_like(xs)
+    mask = apply_shifted_mask(ones)
+    np.testing.assert_array_equal(np.asarray(mask) != 0, np.asarray(xs) != 0)
