@@ -111,6 +111,33 @@ class EarlyStopping:
         self.best_score, self.best_value, self.counter = score, value, 0
 
 
+def pad_and_mask_batch(batch, batch_size: int, mesh):
+    """Pad-and-mask batch sharding: every batch is padded (with cyclic
+    repeats of its real samples) to ONE fixed size — the nominal batch
+    size rounded up to the device count — plus a ``weight`` vector of
+    1/0 masking the padding out of loss, dice and confusion matrix.
+
+    No samples are ever dropped, the compiled step sees a single static
+    shape for the whole run (no per-remainder recompiles, no replicated
+    execution — the reference simply drops or duplicates via its sampler,
+    trainer.py:300-321), and the masked math equals the unpadded
+    computation exactly (see losses.losses sample_weight). Module-level so
+    ``__graft_entry__.dryrun_multichip`` exercises the exact production
+    sharding path.
+    """
+    n_dev = int(np.prod(mesh.devices.shape))
+    b = batch["image"].shape[0]
+    pad_to = -(-max(batch_size, b) // n_dev) * n_dev
+    w = np.zeros((pad_to,), np.float32)
+    w[:b] = 1.0
+    if b < pad_to:
+        idx = np.arange(pad_to) % b
+        batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
+    batch = dict(batch)
+    batch["weight"] = w
+    return shard_batch(mesh, batch)
+
+
 def make_train_step(criterion, num_classes: int, augment_fn=None):
     """Build the compiled train step: grads + update + on-device metrics.
 
@@ -480,6 +507,14 @@ class SemanticSeg:
         eval_step = make_eval_step(criterion, self.num_classes)
         dropout_rng = jax.random.PRNGKey(self.seed)
 
+        # commit the fresh state to the mesh (replicated) up front: an
+        # uncommitted initial state compiles the train step a SECOND time
+        # once the first step's output comes back mesh-committed — a dead
+        # multi-minute compile at real scale
+        from hdenseformer_tpu.parallel.mesh import replicated_sharding
+
+        state = jax.device_put(state, replicated_sharding(mesh))
+
         if self.device_augment:
             from hdenseformer_tpu.data.transforms import RawChannelsLast
 
@@ -578,27 +613,7 @@ class SemanticSeg:
         return history
 
     def _put_batch(self, batch, mesh):
-        """Pad-and-mask batch sharding: every batch is padded (with cyclic
-        repeats of its real samples) to ONE fixed size — the nominal batch
-        size rounded up to the device count — plus a ``weight`` vector of
-        1/0 masking the padding out of loss, dice and confusion matrix.
-
-        No samples are ever dropped, the compiled step sees a single
-        static shape for the whole run (no per-remainder recompiles, no
-        replicated execution), and the masked math equals the unpadded
-        computation exactly (see losses.losses sample_weight).
-        """
-        n_dev = int(np.prod(mesh.devices.shape))
-        b = batch["image"].shape[0]
-        pad_to = -(-max(self.batch_size, b) // n_dev) * n_dev
-        w = np.zeros((pad_to,), np.float32)
-        w[:b] = 1.0
-        if b < pad_to:
-            idx = np.arange(pad_to) % b
-            batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
-        batch = dict(batch)
-        batch["weight"] = w
-        return shard_batch(mesh, batch)
+        return pad_and_mask_batch(batch, self.batch_size, mesh)
 
     def _run_epoch(self, state, loader, step_fn, epoch, mesh, dropout_rng, train: bool):
         loss_meter, dice_meter = AverageMeter(), AverageMeter()

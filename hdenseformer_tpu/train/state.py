@@ -105,10 +105,21 @@ def get_optimizer(
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Overwrite the injected LR hyperparam in-place (no recompilation)."""
+    """Overwrite the injected LR hyperparam in-place (no recompilation).
+
+    The replacement scalar is placed with the OLD scalar's sharding: a
+    fresh uncommitted array would change the compiled train step's input
+    layout and force a full recompile at the next epoch (multi-minute at
+    real scale — caught by
+    test_pad_and_mask_no_extra_compiles_across_epochs).
+    """
     opt_state = state.opt_state
     hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    old = hp.get("learning_rate")
+    new = jnp.asarray(lr, jnp.float32)
+    if isinstance(old, jax.Array) and hasattr(old, "sharding"):
+        new = jax.device_put(new, old.sharding)
+    hp["learning_rate"] = new
     return state.replace(opt_state=opt_state._replace(hyperparams=hp))
 
 
