@@ -228,8 +228,11 @@ def inference_slidingwindow(
     same output naming '<case>.npy'); ``save_nii=True`` additionally writes
     '<case>.nii.gz' volumes like the reference's eval.py:234-284 savers.
     ``window_batch`` windows run per model call (one device dispatch covers
-    the whole grid either way; batching fills the MXU better — default
-    picked by on-TPU benchmark, see PARITY.md).
+    the whole grid either way; batching fills the MXU better). Default 4
+    from the round-3 on-TPU A/B (baselines/infer_latency_v5e.json): at
+    200^3, wb4 p50 3.98 s vs wb1 9.70 s; at LITS-scale 448x512x512, wb8
+    is ~10% faster at p50 (105.6 vs 136.3 s) but pays a far larger first
+    compile — wb4 is the robust default across volume sizes.
     """
     os.makedirs(save_path, exist_ok=True)
     pathlist = sorted(glob.glob(os.path.join(test_path, "*.hdf5")))
