@@ -109,3 +109,354 @@ def test_loss_trajectory_tracks_reference():
             f"step {i}: torch {lt} vs jax {lj} (trajectory {losses_t} vs {losses_j})"
         )
     assert losses_j[-1] < losses_j[0]
+
+
+# ---------------------------------------------------------------------------
+# Trajectory parity WITH the full 3D augmentation pipeline + poly LR active
+# ---------------------------------------------------------------------------
+
+
+class _PairedGen:
+    """np.random.Generator facade that consumes the SAME module-level RNG
+    streams the reference transforms use (``random.randint`` in
+    RandomCrop3D, ``np.random.uniform`` in the affine/flip transforms —
+    /root/reference/data_utils/transformer_3d.py), so that after identical
+    seeding both pipelines receive identical draws in identical order."""
+
+    def integers(self, lo, hi, endpoint=False):
+        import random as _random
+
+        assert endpoint
+        return _random.randint(lo, hi)
+
+    def uniform(self, a=0.0, b=1.0):
+        return np.random.uniform(a, b)
+
+
+def _make_volumes(n, size, in_ch, n_cls, seed=42):
+    """Synthetic blob volumes: channel-0 intensity bump inside the tumor."""
+    rng = np.random.RandomState(seed)
+    vols = []
+    for _ in range(n):
+        img = rng.randn(in_ch, *size).astype(np.float32)
+        lab = np.zeros(size, np.float32)
+        c = rng.randint(12, np.min(size) - 12, 3)
+        r = rng.randint(6, 11)
+        zz, yy, xx = np.mgrid[: size[0], : size[1], : size[2]]
+        mask = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2 <= r * r
+        lab[mask] = 1.0
+        img[0][mask] += 2.0
+        vols.append((img, lab))
+    return vols
+
+
+def _ref_pipeline(patch):
+    """In-test oracle restating /root/reference/data_utils/transformer_3d.py
+    line-for-line (that module imports skimage/transforms3d, neither of
+    which exists in this environment): RandomCrop3D (:7-42, module-level
+    ``random.randint`` per dim), RandomTranslationRotationZoom3D (:45-120,
+    ``np.random.uniform`` draws t,t,r,z,z; compose(T,R,Z) affine on a
+    size/2-centered mgrid; per-class label warp @ 0.5), RandomFlip3D
+    (:123-169, one ``np.random.uniform``). skimage.transform.warp with a
+    coordinate array == scipy map_coordinates(order=1, constant 0) on the
+    float64 image (skimage's img_as_float pathway)."""
+    import random as _random
+
+    from scipy import ndimage as _ndi
+
+    def _euler_x(a):
+        # transforms3d.euler.euler2mat(a, 0, 0, 'sxyz'): x-axis rotation
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+
+    def _warp(img, coords):
+        return _ndi.map_coordinates(
+            np.asarray(img, np.float64), coords, order=1, mode="constant",
+            cval=0.0
+        ).astype(np.float32)
+
+    def run(img, lab):
+        image, label = img.copy(), lab.copy()
+        # --- RandomCrop3D (ref :7-42): random.randint per oversized dim
+        mm = 1 if image.ndim > 3 else 0
+        for i in range(3):
+            if image.shape[i + mm] > patch[i]:
+                b = _random.randint(0, image.shape[i + mm] - patch[i])
+                sl = slice(b, b + patch[i])
+                image = image[(slice(None),) * (i + mm) + (sl,)]
+                label = label[(slice(None),) * i + (sl,)]
+        # --- RandomTranslationRotationZoom3D 'trz' (ref :45-120)
+        img_size = label.shape
+        grid = np.mgrid[: img_size[0], : img_size[1], : img_size[2]]
+        coords = np.array([
+            grid[0] - img_size[0] / 2,
+            grid[1] - img_size[1] / 2,
+            grid[2] - img_size[2] / 2,
+        ])
+        tform = np.append(
+            coords.reshape(3, -1), np.ones((1, int(np.prod(img_size)))), axis=0
+        )
+        translation = [0, np.random.uniform(-5, 5), np.random.uniform(-5, 5)]
+        rotation = _euler_x(np.random.uniform(-5, 5) / 180.0 * np.pi)
+        zoom = [1, np.random.uniform(0.9, 1.1), np.random.uniform(0.9, 1.1)]
+        # transforms3d.affines.compose: A[:3,:3] = R @ diag(Z), A[:3,3] = T
+        warp_mat = np.eye(4)
+        warp_mat[:3, :3] = rotation @ np.diag(zoom)
+        warp_mat[:3, 3] = translation
+        w = warp_mat @ tform
+        for d in range(3):
+            w[d] += img_size[d] / 2
+        warp_coords = w[:3].reshape(3, *img_size)
+        image = np.stack([_warp(image[i], warp_coords) for i in range(image.shape[0])])
+        new_label = np.zeros(label.shape, np.float32)
+        for z in range(1, 2):
+            temp = _warp((label == z).astype(np.float32), warp_coords)
+            new_label[temp >= 0.5] = z
+        label = new_label
+        # --- RandomFlip3D 'hv' (ref :123-169)
+        if np.random.uniform(0, 1) > 0.5:
+            image = image[:, :, ::-1, ...]
+            label = label[:, ::-1, ...]
+        else:
+            image = image[..., ::-1]
+            label = label[..., ::-1]
+        return np.ascontiguousarray(image), np.ascontiguousarray(label)
+
+    return run
+
+
+def _our_pipeline(patch):
+    from hdenseformer_tpu.data.augment3d import (
+        RandomCrop3D,
+        RandomFlip3D,
+        RandomTranslationRotationZoom3D,
+    )
+
+    crop = RandomCrop3D(patch)
+    aff = RandomTranslationRotationZoom3D(mode="trz", num_class=2)
+    flip = RandomFlip3D(mode="hv")
+    gen = _PairedGen()
+
+    def run(img, lab):
+        s = {"image": img.copy(), "label": lab.copy()}
+        s = crop(s, gen)
+        s = aff(s, gen)
+        s = flip(s, gen)
+        return s["image"], s["label"]
+
+    return run
+
+
+@needs_ref
+def test_augment3d_pipeline_matches_reference_paired_draws():
+    """Crop+affine+flip: our host pipeline == reference Compose, exactly
+    paired random draws, per-voxel tolerance (warp interpolation is the
+    only fp-sensitive stage)."""
+    import random as _random
+
+    size, patch = (44, 44, 44), (32, 32, 32)
+    vols = _make_volumes(4, size, 2, 2)
+    ref_run = _ref_pipeline(patch)
+    our_run = _our_pipeline(patch)
+    for i, (img, lab) in enumerate(vols):
+        _random.seed(100 + i)
+        np.random.seed(100 + i)
+        ri, rl = ref_run(img, lab)
+        _random.seed(100 + i)
+        np.random.seed(100 + i)
+        oi, ol = our_run(img, lab)
+        np.testing.assert_allclose(oi, ri, atol=1e-5, err_msg=f"sample {i} image")
+        np.testing.assert_allclose(ol, rl, atol=1e-5, err_msg=f"sample {i} label")
+
+
+@needs_ref
+def test_loss_trajectory_50_steps_with_augmentation_and_poly_lr():
+    """~50 optimizer steps side by side, each framework consuming ITS OWN
+    augmentation pipeline's output (paired draws make them equivalent —
+    proven above), with the reference training recipe active: Adam
+    (wd 1e-4; lr 1e-2 — hotter than the reference recipe so the tiny
+    nf=4 test model escapes its all-foreground init and reaches material
+    dice inside 70 decaying-LR steps; parity is LR-agnostic),
+    deep-supervision FocalLoss, per-epoch PolyLR
+    (reference trainer.py:178-486, 1012-1031). Asserts the loss curves
+    track and the end-of-run val dice agree within the BASELINE 0.5%
+    absolute bar."""
+    import random as _random
+
+    add_reference_to_path()
+    from models.HDenseFormer import HDenseFormer as RefHDF
+    from loss.cross_entropy import FocalLoss as RefFocal
+    from loss.combine_loss import DeepSuperloss as RefDS
+
+    class RefPolyLR(torch.optim.lr_scheduler._LRScheduler):
+        """In-test restatement of reference trainer.py:1012-1031 (the
+        trainer module itself imports torchvision, absent here):
+        lr = base * (1 - epoch/max_epochs)^0.9, stepped per epoch."""
+
+        def __init__(self, optimizer, max_epochs, ck_epoch=0, exponent=0.9):
+            self.max_epochs = max_epochs
+            self.ck_epoch = ck_epoch
+            self.exponent = exponent
+            super().__init__(optimizer, -1)
+
+        def get_lr(self):
+            if self.last_epoch > self.max_epochs:
+                return [g["lr"] for g in self.optimizer.param_groups]
+            frac = (self.last_epoch - self.ck_epoch) / (
+                self.max_epochs - self.ck_epoch
+            )
+            return [b * (1 - frac) ** self.exponent for b in self.base_lrs]
+
+    import optax
+
+    from hdf_mapping import map_hdenseformer_weights
+    from hdenseformer_tpu.losses import get_loss
+    from hdenseformer_tpu.models.hdenseformer import HDenseFormer
+    from hdenseformer_tpu.train.loop import make_train_step
+    from hdenseformer_tpu.train.state import (
+        PolyLR,
+        TrainState,
+        set_learning_rate,
+    )
+
+    torch.manual_seed(0)
+    in_ch, n_cls, nf, depth = 2, 2, 4, 8
+    size, patch = (44, 44, 44), (32, 32, 32)
+    n_epochs, steps_per_epoch, bsz = 14, 5, 2
+
+    vols = _make_volumes(8, size, in_ch, n_cls)
+    val_vols = _make_volumes(4, patch, in_ch, n_cls, seed=7)  # no crop needed
+
+    ref = RefHDF(in_channels=in_ch, n_cls=n_cls, n_filters=nf,
+                 image_size=patch, transformer_depth=depth)
+    ref.eval()  # dropout off; deterministic
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+
+    ref_run = _ref_pipeline(patch)
+    our_run = _our_pipeline(patch)
+
+    def make_batches(run):
+        """Deterministic augmented batch stream; seeds shared across
+        frameworks so paired draws match (incl. the volume choice)."""
+        batches = []
+        for step_i in range(n_epochs * steps_per_epoch):
+            imgs, labs = [], []
+            for b in range(bsz):
+                s = 1000 + step_i * 17 + b
+                _random.seed(s)
+                np.random.seed(s)
+                vi = _random.randrange(len(vols))
+                img, lab = run(*vols[vi])
+                oh = np.stack([1.0 - lab, lab], 0).astype(np.float32)
+                imgs.append(img)
+                labs.append(oh)
+            batches.append((np.stack(imgs), np.stack(labs)))
+        return batches
+
+    batches_t = make_batches(ref_run)
+    batches_j = make_batches(our_run)
+
+    def np_dice(logits_ncdhw, lab_onehot):
+        pred = np.argmax(logits_ncdhw, 1)
+        tgt = np.argmax(lab_onehot, 1)
+        inter = np.sum((pred == 1) & (tgt == 1))
+        den = np.sum(pred == 1) + np.sum(tgt == 1)
+        return (2.0 * inter + 1e-5) / (den + 1e-5)
+
+    # --- reference training -------------------------------------------------
+    with torch.no_grad():
+        dice_t_init = np.mean([
+            np_dice(
+                ref(torch.from_numpy(iv[None]))[0].numpy(),
+                np.stack([1 - lv, lv], 0)[None],
+            )
+            for iv, lv in val_vols
+        ])
+    crit_t = RefDS(criterion=RefFocal(reduction="sum"))
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-2, weight_decay=1e-4)
+    sched_t = RefPolyLR(opt, max_epochs=n_epochs)
+    losses_t = []
+    it = iter(batches_t)
+    for epoch in range(n_epochs):
+        for _ in range(steps_per_epoch):
+            img, lab = next(it)
+            out = ref(torch.from_numpy(img))
+            loss = crit_t(out, torch.from_numpy(lab))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses_t.append(float(loss.detach()))
+        sched_t.step()
+    with torch.no_grad():
+        dice_t = np.mean([
+            np_dice(
+                ref(torch.from_numpy(iv[None]))[0].numpy(),
+                np.stack([1 - lv, lv], 0)[None],
+            )
+            for iv, lv in val_vols
+        ])
+
+    # --- our training -------------------------------------------------------
+    model = HDenseFormer(in_channels=in_ch, n_cls=n_cls, n_filters=nf,
+                         image_size=patch, transformer_depth=depth, dropout=0.0)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1,) + patch + (in_ch,)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    params = map_hdenseformer_weights(sd, params, in_ch, depth)
+    # torch Adam applies wd to ALL params: replicate (no decay mask)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(1e-4),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-learning_rate),
+        )
+    )(learning_rate=1e-2)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        tx=tx, model_state={},
+    )
+    crit_j = get_loss("FocalLoss", use_ds=True)
+    step = make_train_step(crit_j, n_cls)
+    sched_j = PolyLR(1e-2, max_epochs=n_epochs)
+    key = jax.random.PRNGKey(0)
+    losses_j = []
+    it = iter(batches_j)
+    for epoch in range(n_epochs):
+        state = set_learning_rate(state, sched_j.step())
+        for _ in range(steps_per_epoch):
+            img, lab = next(it)
+            batch = {
+                "image": jnp.asarray(np.moveaxis(img, 1, -1)),
+                "label": jnp.asarray(np.moveaxis(lab, 1, -1)),
+            }
+            state, m = step(state, batch, key)
+            losses_j.append(float(m["loss"]))
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                           rngs={"dropout": key}))
+    dice_j = np.mean([
+        np_dice(
+            np.moveaxis(np.asarray(
+                fwd(state.params, jnp.asarray(np.moveaxis(iv, 0, -1))[None])[0]
+            ), -1, 1),
+            np.stack([1 - lv, lv], 0)[None],
+        )
+        for iv, lv in val_vols
+    ])
+
+    # loss curves track throughout; fp drift compounds, so per-step bound
+    # is loose late but the mean relative error stays tight
+    rel = np.abs(np.asarray(losses_j) - np.asarray(losses_t)) / np.maximum(
+        np.abs(np.asarray(losses_t)), 1e-6
+    )
+    assert float(rel.mean()) < 2e-2, (rel.mean(), losses_t[:5], losses_j[:5])
+    assert float(rel.max()) < 8e-2, (rel.argmax(), rel.max())
+    # BASELINE bar: val dice within 0.5% absolute of the reference run
+    assert abs(dice_j - dice_t) < 5e-3, (dice_j, dice_t)
+    # both runs actually converged: the reference escapes its
+    # all-foreground init (val dice 0.127 for every param setting that
+    # stays degenerate) and segments the blobs — measured 0.93 at this
+    # lr; anything past 0.3 proves real learning, which makes the dice
+    # parity assert above non-vacuous
+    assert losses_j[-1] < 0.65 * max(losses_j[:5])
+    assert dice_t > max(0.3, dice_t_init + 0.05), (dice_t_init, dice_t)
