@@ -21,8 +21,14 @@ CONFIGS = {
     "unetr": dict(vol=(96, 96, 96), channels=2, num_classes=2),
     "transbts": dict(vol=(128, 128, 128), channels=2, num_classes=2),
     "da_unet": dict(vol=(144, 144, 144), channels=2, num_classes=2),
+    "hecktor20top1": dict(vol=(144, 144, 144), channels=2, num_classes=2),
 }
-NAMES = {"unetr": "unetr", "transbts": "TransBTS", "da_unet": "da_unet"}
+NAMES = {
+    "unetr": "unetr",
+    "transbts": "TransBTS",
+    "da_unet": "da_unet",
+    "hecktor20top1": "hecktor20top1",
+}
 STEPS = 8
 
 

@@ -181,6 +181,7 @@ class DenseTransformerBlock(nn.Module):
             self.patch_size,
             padding=0,
             dtype=self.dtype,
+            as_matmul=True,  # patchify == unfold + matmul (see Conv)
             name="patch_embed",
         )(x)
         b = x.shape[0]
@@ -228,10 +229,15 @@ class HDenseFormer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     # space-to-depth packed execution of the narrow-channel UNet levels
     # (ops/s2d.py — exact same math, MXU-aligned on TPU). None = auto:
-    # pack only <=32-channel levels (the measured v5e sweet spot; at 64ch
-    # full-rank packing loses, see lvl_packed below). True = pack every
-    # even-dim level with < 128 channels. False = off. A tuple of level
-    # indices selects levels explicitly.
+    # full-rank pack only the <= 32-channel levels (the measured v5e
+    # sweet spot: full-rank at 64ch loses — 2.37x FLOP redundancy
+    # outweighs the lane win, PARITY.md round-2 — and last-dim
+    # partial-rank at 64ch measured neutral, 286.5 vs 288.6 ms at 144^3,
+    # round-3, so it stays opt-in). True = full-rank pack every even-dim
+    # level with < 128 channels. False = off. A tuple of level indices
+    # full-rank packs exactly those levels. A dict {level: True |
+    # dims-tuple} selects the packing rank per level explicitly
+    # (e.g. {0: True, 1: (2,)} = full at L0, last-dim partial at L1).
     s2d: Optional[bool] = None
 
     @nn.compact
@@ -241,32 +247,35 @@ class HDenseFormer(nn.Module):
         dt = self.dtype
 
         # space-to-depth packing decisions (see `s2d` field): a UNet level
-        # runs packed when it is narrower than the 128 MXU lanes and its
-        # fine grid has even dims.
+        # runs packed when it is narrower than the 128 MXU lanes and the
+        # packed dims of its fine grid are even.
         sp = x.shape[1:-1]
+        nsp = len(sp)
         use_s2d = self.s2d if self.s2d is not None else True
 
-        def lvl_packed(lvl: int) -> bool:
+        def lvl_dims(lvl: int):
+            """None (fine grid) or the tuple of packed dims for a level."""
             ch = (2 ** lvl) * nf
-            fine = [s // (2 ** lvl) for s in sp]
-            even = all(
-                f > 0 and f % 2 == 0 and s % (2 ** lvl) == 0
-                for f, s in zip(fine, sp)
-            )
-            if isinstance(use_s2d, (tuple, list)):
-                enabled = lvl in use_s2d  # explicit level selection
+            if isinstance(use_s2d, dict):
+                spec = use_s2d.get(lvl, False)
+            elif isinstance(use_s2d, (tuple, list)):
+                spec = lvl in use_s2d  # explicit level selection, full rank
             elif self.s2d is None:
-                # auto: only levels at <= 32 channels win on v5e — at 64ch
-                # the fine conv is already ~half-efficient and the packed
-                # expansion's 2.37x FLOP overhead + shift copies lose
-                # (measured 144^3: L1-only 367 ms vs both-levels 385 ms
-                # vs unpacked 453 ms; PARITY.md round-2 record)
-                enabled = ch <= 32
+                # auto (measured v5e, see field comment)
+                spec = ch <= 32
             else:
-                enabled = bool(use_s2d)
-            return enabled and ch < 128 and even
+                spec = bool(use_s2d)
+            if spec is False or ch >= 128:
+                return None
+            dims = tuple(range(nsp)) if spec is True else tuple(spec)
+            fine = [s // (2 ** lvl) for s in sp]
+            ok = all(
+                fine[i] > 0 and fine[i] % 2 == 0 and sp[i] % (2 ** lvl) == 0
+                for i in dims
+            )
+            return dims if ok else None
 
-        pk = [lvl_packed(i) for i in range(3)]
+        pk = [lvl_dims(i) for i in range(3)]
         # rematerialization: at 144^3 the stored conv activations exceed a
         # single chip's HBM for the backward pass at batch >= 2;
         # remat=True checkpoints every block (fits batch 2, ~2.8x step
@@ -318,11 +327,16 @@ class HDenseFormer(nn.Module):
 
         attnout = UpConvM(8 * nf, dtype=dt, name="deep_conv")(attnall)  # 1/8
         at1 = UpConvM(4 * nf, dtype=dt, name="up1")(attnout)  # 1/4
+        # at2 feeds both up3 (fine-grid conv input) and the level-1 fusion
+        # add, so it stays fine-grid; level 1's pack of it is a contiguous
+        # reshape when pk[1] is last-dim-only. up3's full-resolution output
+        # is only consumed by the level-0 fusion add: emit it packed
+        # directly, skipping the fine-grid interpolation + repack.
         at2 = UpConvM(2 * nf, dtype=dt, name="up2")(at1)  # 1/2
-        # up3's full-resolution output is only consumed by the (packed)
-        # level-1 fusion add: emit it packed directly when level 1 is
-        # packed, skipping the fine-grid interpolation + repack.
-        at3 = UpConvM(1 * nf, dtype=dt, packed_out=pk[0], name="up3")(at2)  # 1/1
+        at3 = UpConvM(
+            1 * nf, dtype=dt, packed_out=pk[0] is not None, packed_dims=pk[0],
+            name="up3",
+        )(at2)  # 1/1
 
         # --- UNet encoder with additive transformer fusion ----------------
         # Narrow-channel levels run space-to-depth packed (ops/s2d.py):
@@ -339,19 +353,22 @@ class HDenseFormer(nn.Module):
             and the second conv consumes it directly — zero shift
             materializations (ops/s2d.py::conv3_packed_p2s/_s2p)."""
             Blk = nn.remat(BasicConv) if (lvl_remat and lvl <= 1) else BasicConvEnc
-            if pk[lvl]:
-                hp = pack(h)
-                d = Blk(ch, dtype=dt, packed=True, shift="out", name=n1)(hp)
-                d = Blk(ch, dtype=dt, packed=True, shift="in", name=n2)(d)
-                d = d + (ats if ats_packed else pack(ats))
-                return d, max_pool_packed(d)
+            dims = pk[lvl]
+            if dims:
+                hp = pack(h, dims)
+                d = Blk(ch, dtype=dt, packed=True, packed_dims=dims,
+                        shift="out", name=n1)(hp)
+                d = Blk(ch, dtype=dt, packed=True, packed_dims=dims,
+                        shift="in", name=n2)(d)
+                d = d + (ats if ats_packed else pack(ats, dims))
+                return d, max_pool_packed(d, dims)
             d = Blk(ch, dtype=dt, name=n1)(h)
             d = Blk(ch, dtype=dt, name=n2)(d)
             d = d + ats
             return d, max_pool(d)
 
         ds0, h = enc_level(x, at3, 0, nf, "block_1_1_left", "block_1_2_left",
-                           ats_packed=pk[0])
+                           ats_packed=pk[0] is not None)
         ds1, h = enc_level(h, at2, 1, 2 * nf, "block_2_1_left", "block_2_2_left")
         ds2, h = enc_level(h, at1, 2, 4 * nf, "block_3_1_left", "block_3_2_left")
         y = BasicConvEnc(8 * nf, dtype=dt, name="block_4_1_left")(h)
@@ -371,15 +388,23 @@ class HDenseFormer(nn.Module):
             sel = lvl_remat and lvl <= 1
             Blk = nn.remat(BasicConv) if sel else BasicConvM
             CT = nn.remat(ConvTranspose) if sel else ConvTransposeM
-            if pk[lvl]:
+            dims = pk[lvl]
+            if dims:
                 up = CT(
-                    ch, 3, 2, 1, 1, dtype=dt, packed_out=True, name=up_name
+                    ch, 3, 2, 1, 1, dtype=dt, packed_out=True,
+                    packed_dims=dims, name=up_name,
                 )(y)
-                yd = concat_packed([up, skip])
-                yd = Blk(ch, dtype=dt, packed=True, shift="out", name=n1)(yd)
-                yd = Blk(ch, dtype=dt, packed=True, shift="in", name=n2)(yd)
-                head = unpack(Conv(self.n_cls, 1, packed=True, name=head_name)(yd))
-                return unpack(yd), head
+                yd = concat_packed([up, skip], dims)
+                yd = Blk(ch, dtype=dt, packed=True, packed_dims=dims,
+                         shift="out", name=n1)(yd)
+                yd = Blk(ch, dtype=dt, packed=True, packed_dims=dims,
+                         shift="in", name=n2)(yd)
+                head = unpack(
+                    Conv(self.n_cls, 1, packed=True, packed_dims=dims,
+                         name=head_name)(yd),
+                    dims,
+                )
+                return unpack(yd, dims), head
             yd = jnp.concatenate(
                 [CT(ch, 3, 2, 1, 1, dtype=dt, name=up_name)(y), skip],
                 axis=-1,

@@ -79,10 +79,19 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
     packed: bool = False
     packed_shift: Optional[str] = None  # None | 'out' | 'in'
+    # which spatial dims are packed (None = all); packing only the last
+    # dim runs the partial-rank 2x-channel form (ops/s2d.py module doc)
+    packed_dims: Optional[Tuple[int, ...]] = None
     # emit f32 with f32 MXU accumulation while reading the activation in
     # its (bf16) compute dtype — for logits heads, where casting the
     # full-resolution input to f32 first costs a materialized copy
     out_f32: bool = False
+    # lower a non-overlapping patchify conv (kernel == stride, padding 0,
+    # e.g. the ViT patch embed) as block-reshape + ONE matmul instead of
+    # a strided conv: XLA's conv lowering at in_ch=1/k16 pays ~13 ms/step
+    # of layout copies at 144^3 (round-3 trace) that the matmul avoids.
+    # Parameter shapes/names are identical to the conv form.
+    as_matmul: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -93,13 +102,15 @@ class Conv(nn.Module):
         d = _tup(self.dilation, nsp)
         if self.packed:
             from hdenseformer_tpu.ops.s2d import (
+                _pdims,
                 conv1_packed,
                 conv3_packed,
                 conv3_packed_p2s,
                 conv3_packed_s2p,
             )
 
-            f = 2 ** nsp
+            pdims = _pdims(nsp, self.packed_dims)
+            f = 2 ** len(pdims)
             in_ch = x.shape[-1] // f
             assert self.feature_group_count == 1 and s == (1,) * nsp
             assert all(ki in (1, 3) for ki in k) and len(set(k)) == 1
@@ -125,13 +136,13 @@ class Conv(nn.Module):
             )
             dtype = self.dtype or x.dtype
             if k[0] == 1:
-                return conv1_packed(x, kernel, bias=bias)
+                return conv1_packed(x, kernel, bias=bias, dims=pdims)
             conv = {
                 None: conv3_packed,
                 "out": conv3_packed_p2s,
                 "in": conv3_packed_s2p,
             }[self.packed_shift]
-            y = conv(x, kernel, dtype=dtype)
+            y = conv(x, kernel, dtype=dtype, dims=pdims)
             if bias is not None:
                 # 'out': bias lands on pad slots too; the consumer's
                 # shifted-aware norm masks them before use
@@ -154,6 +165,29 @@ class Conv(nn.Module):
             y = dot_f32out(
                 x.astype(dtype), kernel.reshape(in_ch, self.features).astype(dtype)
             )
+        elif self.as_matmul:
+            assert k == s and p == (0,) * nsp and d == (1,) * nsp
+            assert self.feature_group_count == 1
+            g = tuple(si // ki for si, ki in zip(x.shape[1:-1], k))
+            shape = (x.shape[0],)
+            for gi, ki in zip(g, k):
+                shape += (gi, ki)
+            shape += (in_ch,)
+            t = x.reshape(shape)
+            # (n, g0, k0, g1, k1, ..., c) -> (n, g..., k..., c)
+            perm = (
+                (0,)
+                + tuple(1 + 2 * i for i in range(nsp))
+                + tuple(2 + 2 * i for i in range(nsp))
+                + (1 + 2 * nsp,)
+            )
+            t = t.transpose(perm).reshape(
+                (x.shape[0],) + g + (int(np.prod(k)) * in_ch,)
+            )
+            # kernel (k..., in, out) row-major flatten matches the token
+            # (k..., in) flatten above
+            w = kernel.reshape(int(np.prod(k)) * in_ch, self.features)
+            y = jnp.dot(t.astype(dtype), w.astype(dtype))
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype),
@@ -196,6 +230,7 @@ class ConvTranspose(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     packed_out: bool = False  # k3 s2 p1 op1 only: emit s2d-packed output
+    packed_dims: Optional[Tuple[int, ...]] = None  # None = all spatial dims
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -226,7 +261,9 @@ class ConvTranspose(nn.Module):
                 if self.use_bias
                 else None
             )
-            return conv_transpose_packed(x, kernel, bias=bias, dtype=dtype)
+            return conv_transpose_packed(
+                x, kernel, bias=bias, dtype=dtype, dims=self.packed_dims
+            )
         pad = [(ki - 1 - pi, ki - 1 - pi + opi) for ki, pi, opi in zip(k, p, op)]
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
@@ -296,6 +333,7 @@ class InstanceNorm(nn.Module):
     fuse_relu: bool = False
     use_pallas: Optional[bool] = None
     packed: bool = False  # input is s2d packed-plain (ops/s2d.py)
+    packed_dims: Optional[Tuple[int, ...]] = None  # None = all spatial dims
     # input is s2d packed-SHIFTED (conv3_packed_p2s output): stats exclude
     # the pad slots and the output re-zeroes them, so it feeds directly
     # into a Conv(packed_shift='in')
@@ -304,9 +342,11 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from hdenseformer_tpu.ops.fused_norm import instance_norm_relu as fused
+        from hdenseformer_tpu.ops.s2d import _pdims
 
         assert not self.shifted or self.packed
-        parity = 2 ** (x.ndim - 2) if self.packed else 1
+        pdims = _pdims(x.ndim - 2, self.packed_dims) if self.packed else ()
+        parity = 2 ** len(pdims) if self.packed else 1
         ch = x.shape[-1] // parity
         scale = bias = None
         if self.affine:
@@ -330,7 +370,7 @@ class InstanceNorm(nn.Module):
 
         return fused(
             x, scale, bias, self.epsilon, relu=self.fuse_relu, parity=parity,
-            shifted=self.shifted,
+            shifted=pdims if self.shifted else False,
         )
 
 
@@ -384,6 +424,7 @@ class BasicConv(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
     packed: bool = False  # s2d packed-plain in/out (ops/s2d.py)
+    packed_dims: Optional[Tuple[int, ...]] = None  # None = all spatial dims
     # packed k3 shift-free pair (ops/s2d.py): 'out' emits the half-shifted
     # layout (the norm masks its pad slots), 'in' consumes it. Chain a
     # shift='out' block into a shift='in' block to run two fine SAME convs
@@ -401,11 +442,13 @@ class BasicConv(nn.Module):
             dtype=self.dtype,
             packed=self.packed,
             packed_shift=self.shift,
+            packed_dims=self.packed_dims,
             name="conv",
         )(x)
         return InstanceNorm(
             affine=True, fuse_relu=True, use_pallas=self.use_pallas,
-            packed=self.packed, shifted=self.shift == "out", name="norm",
+            packed=self.packed, packed_dims=self.packed_dims,
+            shifted=self.shift == "out", name="norm",
         )(x)
 
 
@@ -419,6 +462,7 @@ class UpConv(nn.Module):
     scale: int = 2
     dtype: Optional[Dtype] = None
     packed_out: bool = False  # scale 2 only: emit s2d packed-plain output
+    packed_dims: Optional[Tuple[int, ...]] = None  # None = all spatial dims
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -430,7 +474,7 @@ class UpConv(nn.Module):
             from hdenseformer_tpu.ops.s2d import upsample2x_packed
 
             assert self.scale == 2
-            return upsample2x_packed(x)
+            return upsample2x_packed(x, dims=self.packed_dims)
         return upsample_linear(x, self.scale)
 
 

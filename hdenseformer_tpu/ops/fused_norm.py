@@ -83,20 +83,30 @@ def _vec(v: Array, parity: int, x: Array) -> Array:
     return v.reshape((1,) * (x.ndim - 1) + (v.shape[-1],))
 
 
-def _count(x: Array, parity: int, shifted: bool) -> int:
+def _sdims(x: Array, shifted) -> tuple:
+    """Packed-dim indices of a shifted layout: ``shifted`` is False, True
+    (fully packed) or a tuple of packed spatial dims (partial-rank)."""
+    if shifted is True:
+        return tuple(range(x.ndim - 2))
+    return tuple(shifted)
+
+
+def _count(x: Array, parity: int, shifted) -> int:
     """Elements per (sample, original channel) statistics set. A
-    packed-SHIFTED tensor ((g+1)^d cells, ops/s2d.py) is a bijection of
-    the zero-extended (2g)^d fine grid: the true count is the fine count
-    parity * prod(g_i), excluding the pad slots."""
+    packed-SHIFTED tensor (g+1 cells per packed dim, ops/s2d.py) is a
+    bijection of the zero-extended fine grid: the true count is
+    parity * prod(packed: s_i - 1) * prod(unpacked: s_i), excluding the
+    pad slots."""
     if shifted:
-        assert parity == 2 ** (x.ndim - 2), "shifted implies fully packed"
+        dims = _sdims(x, shifted)
+        assert parity == 2 ** len(dims), "parity must match shifted dims"
     m = parity
-    for s in x.shape[1:-1]:
-        m *= (s - 1) if shifted else s
+    for i, s in enumerate(x.shape[1:-1]):
+        m *= (s - 1) if (shifted and i in dims) else s
     return m
 
 
-def _mask(y: Array, shifted: bool) -> Array:
+def _mask(y: Array, shifted) -> Array:
     """Apply the shifted-layout pad mask (no-op when not shifted). Call
     INSIDE each fused pass, on that pass's own expression — never on a
     value shared across passes (see module docstring)."""
@@ -104,7 +114,7 @@ def _mask(y: Array, shifted: bool) -> Array:
         return y
     from hdenseformer_tpu.ops.s2d import apply_shifted_mask
 
-    return apply_shifted_mask(y)
+    return apply_shifted_mask(y, dims=_sdims(y, shifted))
 
 
 def _group(v: Array, parity: int) -> Array:
@@ -142,9 +152,10 @@ def instance_norm_relu(
     epsilon: float = 1e-5,
     relu: bool = True,
     parity: int = 1,
-    shifted: bool = False,
+    shifted=False,
 ) -> Array:
-    """With ``shifted`` the input is a packed-SHIFTED tensor
+    """With ``shifted`` (True = fully packed, or a tuple of packed dims
+    for partial-rank layouts) the input is a packed-SHIFTED tensor
     (ops/s2d.py::conv3_packed_p2s output): pad slots are excluded from the
     statistics and zeroed in the output, so the result is directly
     consumable by ``conv3_packed_s2p`` (which treats them as the fine
@@ -215,8 +226,11 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
         # pad slots carry no gradient (fwd output is masked there)
         nsp = x.ndim - 2
         fc = x.shape[-1]
-        g = tuple(s - 1 for s in x.shape[1:-1])
-        for i, f in enumerate(shifted_mask_factors(g, fc, fc // (2 ** nsp))):
+        sdims = _sdims(x, shifted)
+        factors = shifted_mask_factors(
+            tuple(x.shape[1:-1]), fc, fc // parity, sdims
+        )
+        for i, f in factors:
             shape = (1,) * (1 + i) + (x.shape[1 + i],) + (1,) * (nsp - 1 - i) + (fc,)
             dy_eff = jnp.where(
                 jnp.asarray(f, jnp.bool_).reshape(shape), dy_eff,
@@ -228,9 +242,18 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
     # dual product-reduce over (x, dy_eff): t2 centered (single consumer
     # of the (x32 - mean) chain); s2 = inv * t2 pulls inv out of the pass
     t1 = _group(jnp.sum(dy32, axis=axes), parity)  # (N, C)
-    t2 = _group(
-        jnp.sum(dy32 * (x.astype(jnp.float32) - mean_bc), axis=axes), parity
-    )
+    import os as _os
+
+    if _os.environ.get("HDF_NORM_T2") == "uncentered":
+        # experimental: t2 = sum(dy*x) - mean*t1 — no centered chain in
+        # the reduce pass at all, error linear in |mean|/std
+        t2 = _group(
+            jnp.sum(dy32 * x.astype(jnp.float32), axis=axes), parity
+        ) - mean * t1
+    else:
+        t2 = _group(
+            jnp.sum(dy32 * (x.astype(jnp.float32) - mean_bc), axis=axes), parity
+        )
     s1, s2 = t1, inv * t2
 
     gamma = (

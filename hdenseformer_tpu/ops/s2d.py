@@ -47,6 +47,17 @@ The expansion carries a 2^(2d)*2^d/3^d FLOP redundancy (2.37x for d=3:
 net win below 128 channels. All ops are plain XLA (conv_general_dilated/
 reshape/slice), so autodiff, jit, pjit sharding and CPU tests work
 unchanged.
+
+PARTIAL-RANK packing: every op takes a ``dims`` tuple selecting WHICH
+spatial dims are packed (default: all). Packing only the LAST spatial
+dim doubles the channel count at 4/3x FLOP redundancy (4 dense vs 3
+useful taps on that axis) — the right trade for 64-channel stages,
+where a full-rank pack's 2.37x redundancy outweighs the lane win
+(measured, PARITY.md round-2) but 64 -> 128 lanes at 4/3x does not.
+Because the last spatial dim is adjacent to the channel dim,
+``pack``/``unpack`` along it are contiguous reshapes — zero data
+movement. Unpacked dims keep their 3-tap SAME convolution; packed dims
+run the 2-tap VALID form.
 """
 from __future__ import annotations
 
@@ -66,6 +77,16 @@ def _dim_numbers(nsp: int):
     if nsp == 3:
         return ("NDHWC", "DHWIO", "NDHWC")
     raise ValueError(f"unsupported spatial rank {nsp}")
+
+
+def _pdims(nsp: int, dims) -> tuple:
+    """Normalize the packed-dims selector: None = all spatial dims."""
+    if dims is None:
+        return tuple(range(nsp))
+    dims = tuple(sorted(int(d) for d in dims))
+    assert dims and len(set(dims)) == len(dims)
+    assert all(0 <= d < nsp for d in dims), (dims, nsp)
+    return dims
 
 
 @lru_cache(maxsize=None)
@@ -121,35 +142,47 @@ def _tap_factor_p2s() -> np.ndarray:
     return A
 
 
-def expand_kernel(w: Array) -> Array:
-    """(3,..,3, C, Co) fine SAME-conv kernel -> (2,..,2, 2^d*C, 2^d*Co)
-    packed VALID-conv kernel (parity-major packed order)."""
+@lru_cache(maxsize=None)
+def _id_factor() -> np.ndarray:
+    """Unpacked-dim factor: the 3 kernel taps pass through as 3 spatial
+    taps (singleton block axes) — that dim keeps its SAME-3 convolution."""
+    ident = np.zeros((3, 1, 1, 3), np.float32)
+    for k in range(3):
+        ident[k, 0, 0, k] = 1.0
+    return ident
+
+
+def _expand_with(w: Array, dims, packed_factor: np.ndarray) -> Array:
     nsp = w.ndim - 2
-    A = jnp.asarray(_tap_factor(False), w.dtype)
+    dims = _pdims(nsp, dims)
+    fs = [
+        jnp.asarray(packed_factor if i in dims else _id_factor(), w.dtype)
+        for i in range(nsp)
+    ]
     if nsp == 3:
-        Wp = jnp.einsum("aPQk,bRSl,cTUm,klmio->abcPRTiQSUo", A, A, A, w)
+        Wp = jnp.einsum("aPQk,bRSl,cTUm,klmio->abcPRTiQSUo", *fs, w)
     else:
-        Wp = jnp.einsum("aPQk,bRSl,klio->abPRiQSo", A, A, w)
+        Wp = jnp.einsum("aPQk,bRSl,klio->abPRiQSo", *fs, w)
     C, Co = w.shape[-2], w.shape[-1]
-    f = 2 ** nsp
-    return Wp.reshape((2,) * nsp + (f * C, f * Co))
+    f = 2 ** len(dims)
+    ksp = tuple(2 if i in dims else 3 for i in range(nsp))
+    return Wp.reshape(ksp + (f * C, f * Co))
 
 
-def expand_kernel_p2s(w: Array) -> Array:
-    """(3,..,3, C, Co) fine SAME-conv kernel -> (2,..,2, 2^d*C, 2^d*Co)
-    packed kernel for the plain->shifted conv form (``conv3_packed_p2s``)."""
-    nsp = w.ndim - 2
-    A = jnp.asarray(_tap_factor_p2s(), w.dtype)
-    if nsp == 3:
-        Wp = jnp.einsum("aPQk,bRSl,cTUm,klmio->abcPRTiQSUo", A, A, A, w)
-    else:
-        Wp = jnp.einsum("aPQk,bRSl,klio->abPRiQSo", A, A, w)
-    C, Co = w.shape[-2], w.shape[-1]
-    f = 2 ** nsp
-    return Wp.reshape((2,) * nsp + (f * C, f * Co))
+def expand_kernel(w: Array, dims=None) -> Array:
+    """(3,..,3, C, Co) fine SAME-conv kernel -> packed VALID-conv kernel
+    (parity-major packed order): 2 taps / 2^|dims| channel blocks on the
+    packed dims, the original 3 SAME taps on unpacked dims."""
+    return _expand_with(w, dims, _tap_factor(False))
 
 
-def expand_kernel_transpose(w: Array) -> Array:
+def expand_kernel_p2s(w: Array, dims=None) -> Array:
+    """(3,..,3, C, Co) fine SAME-conv kernel -> packed kernel for the
+    plain->shifted conv form (``conv3_packed_p2s``)."""
+    return _expand_with(w, dims, _tap_factor_p2s())
+
+
+def expand_kernel_transpose(w: Array, dims=None) -> Array:
     """torch-layout ConvTranspose kernel, already converted to the
     equivalent-conv form used by models/layers.py::ConvTranspose
     ((3,..,3, C_in, C_out), spatially flipped) -> (2,..,2, C_in, 2^d*C_out)
@@ -159,59 +192,81 @@ def expand_kernel_transpose(w: Array) -> Array:
     conv whose kernel is the flipped torch kernel; un-flip to recover
     w_t[k] and apply o = 2i + k - 1 (k3 s2 p1 op1, ref
     models/HDenseFormer.py:211-219).
+
+    Partial-rank (``dims``): only the packed dims are un-flipped and
+    expanded; unpacked dims keep the stored equivalent-conv orientation —
+    they run as the usual input-dilated (lhs_dilation=2) taps.
     """
     nsp = w.ndim - 2
-    wt = jnp.flip(w, axis=tuple(range(nsp)))  # back to torch tap order
-    A = jnp.asarray(_tap_factor(True)[:, 0], w.dtype)  # (u, q, k)
+    dims = _pdims(nsp, dims)
+    wt = jnp.flip(w, axis=dims)  # packed dims back to torch tap order
+    A = _tap_factor(True)[:, 0]  # (u, q, k)
+    identu = np.zeros((3, 1, 3), np.float32)
+    for k in range(3):
+        identu[k, 0, k] = 1.0
+    fs = [jnp.asarray(A if i in dims else identu, w.dtype) for i in range(nsp)]
     if nsp == 3:
-        Wp = jnp.einsum("aQk,bSl,cUm,klmio->abciQSUo", A, A, A, wt)
+        Wp = jnp.einsum("aQk,bSl,cUm,klmio->abciQSUo", *fs, wt)
     else:
-        Wp = jnp.einsum("aQk,bSl,klio->abiQSo", A, A, wt)
+        Wp = jnp.einsum("aQk,bSl,klio->abiQSo", *fs, wt)
     C, Co = w.shape[-2], w.shape[-1]
-    return Wp.reshape((2,) * nsp + (C, (2 ** nsp) * Co))
+    ksp = tuple(2 if i in dims else 3 for i in range(nsp))
+    return Wp.reshape(ksp + (C, (2 ** len(dims)) * Co))
 
 
-def pack(x: Array) -> Array:
-    """(N, *fine, C) -> (N, *fine/2, 2^d * C), parity-major packed."""
+def pack(x: Array, dims=None) -> Array:
+    """(N, *fine, C) -> packed-plain, parity-major: packed dims halve and
+    contribute channel-block bits in dim order. Packing only the last
+    spatial dim is a contiguous reshape (zero data movement)."""
     nsp = x.ndim - 2
+    dims = _pdims(nsp, dims)
     n, c = x.shape[0], x.shape[-1]
-    g = tuple(s // 2 for s in x.shape[1:-1])
     shape = (n,)
-    for gs in g:
-        shape += (gs, 2)
+    for i, s in enumerate(x.shape[1:-1]):
+        shape += (s // 2, 2) if i in dims else (s,)
     shape += (c,)
     xp = x.reshape(shape)
-    # (n, g0, 2, g1, 2, ..., c) -> (n, g0, g1, ..., 2, 2, ..., c)
-    perm = (
-        (0,)
-        + tuple(1 + 2 * i for i in range(nsp))
-        + tuple(2 + 2 * i for i in range(nsp))
-        + (1 + 2 * nsp,)
-    )
-    xp = xp.transpose(perm)
-    return xp.reshape((n,) + g + (c * 2 ** nsp,))
-
-
-def unpack(xp: Array) -> Array:
-    nsp = xp.ndim - 2
-    n, c8 = xp.shape[0], xp.shape[-1]
-    f = 2 ** nsp
-    c = c8 // f
-    g = xp.shape[1:-1]
-    x = xp.reshape((n,) + tuple(g) + (2,) * nsp + (c,))
-    # (n, g..., p..., c) -> (n, g0, p0, g1, p1, ..., c)
-    perm = (0,)
+    # spatial axes (coarse part), then parity axes in dim order, then c
+    spat, par = [], []
+    pos = 1
     for i in range(nsp):
-        perm += (1 + i, 1 + nsp + i)
-    perm += (1 + 2 * nsp,)
+        spat.append(pos)
+        if i in dims:
+            par.append(pos + 1)
+            pos += 2
+        else:
+            pos += 1
+    xp = xp.transpose((0,) + tuple(spat) + tuple(par) + (pos,))
+    g = tuple(s // 2 if i in dims else s for i, s in enumerate(x.shape[1:-1]))
+    return xp.reshape((n,) + g + (c * 2 ** len(dims),))
+
+
+def unpack(xp: Array, dims=None) -> Array:
+    nsp = xp.ndim - 2
+    dims = _pdims(nsp, dims)
+    n, cf = xp.shape[0], xp.shape[-1]
+    f = 2 ** len(dims)
+    c = cf // f
+    g = xp.shape[1:-1]
+    x = xp.reshape((n,) + tuple(g) + (2,) * len(dims) + (c,))
+    # (n, g..., p..., c) -> interleave each packed dim with its parity axis
+    perm = (0,)
+    pi = 1 + nsp
+    for i in range(nsp):
+        perm += (1 + i,)
+        if i in dims:
+            perm += (pi,)
+            pi += 1
+    perm += (1 + nsp + len(dims),)
     x = x.transpose(perm)
-    return x.reshape((n,) + tuple(2 * s for s in g) + (c,))
+    fine = tuple(2 * s if i in dims else s for i, s in enumerate(g))
+    return x.reshape((n,) + fine + (c,))
 
 
-def plain_to_shifted(xp: Array) -> Array:
+def plain_to_shifted(xp: Array, dims=None) -> Array:
     """Packed-plain (cells cover fine [2j, 2j+1]) -> packed-shifted
-    (one extra cell per dim, zero-padded boundary == the fine conv's
-    SAME padding): shifted cell j, block p holds fine position 2j - p.
+    (one extra cell per packed dim, zero-padded boundary == the fine
+    conv's SAME padding): shifted cell j, block p holds fine 2j - p.
 
     POSITION-PRESERVING: block p copies block p (the identical contiguous
     C-channel lane range) from the neighbor cell j - p — zero lane
@@ -220,134 +275,162 @@ def plain_to_shifted(xp: Array) -> Array:
     full-128-lane plane copies with lane-masked plane/shift selection.
     """
     nsp = xp.ndim - 2
-    n, c8 = xp.shape[0], xp.shape[-1]
-    f = 2 ** nsp
-    c = c8 // f
+    dims = _pdims(nsp, dims)
+    npk = len(dims)
+    n, cf = xp.shape[0], xp.shape[-1]
+    f = 2 ** npk
+    c = cf // f
     g = xp.shape[1:-1]
-    pad = ((0, 0),) + ((1, 1),) * nsp + ((0, 0),)
+    pad = ((0, 0),) + tuple(
+        (1, 1) if i in dims else (0, 0) for i in range(nsp)
+    ) + ((0, 0),)
     xr = jnp.pad(xp, pad)
     pieces = []
     for mask in range(f):
-        pbits = [(mask >> (nsp - 1 - i)) & 1 for i in range(nsp)]
+        pbits = {
+            d: (mask >> (npk - 1 - j)) & 1 for j, d in enumerate(dims)
+        }
         idx = (slice(None),)
-        for i, pb in enumerate(pbits):
-            # padded coords: j in [-1, g]; want source j - pb for
-            # shifted j in [0, g], i.e. padded range [1-pb, 1-pb + g + 1)
-            idx += (slice(1 - pb, 1 - pb + g[i] + 1),)
+        for i in range(nsp):
+            if i in dims:
+                pb = pbits[i]
+                # padded coords: j in [-1, g]; want source j - pb for
+                # shifted j in [0, g], i.e. padded range [1-pb, 1-pb+g+1)
+                idx += (slice(1 - pb, 1 - pb + g[i] + 1),)
+            else:
+                idx += (slice(None),)
         idx += (slice(mask * c, (mask + 1) * c),)
         pieces.append(xr[idx])
     return jnp.concatenate(pieces, axis=-1)
 
 
-def conv3_packed(xp: Array, w: Array, dtype=None) -> Array:
+def conv3_packed(xp: Array, w: Array, dtype=None, dims=None) -> Array:
     """SAME 3^d conv on the fine grid, computed in packed space.
 
-    xp: packed-plain (N, *g, 2^d*C); w: fine kernel (3,..,3, C, Co).
-    Returns packed-plain (N, *g, 2^d*Co).
+    xp: packed-plain (N, *g, f*C); w: fine kernel (3,..,3, C, Co).
+    Returns packed-plain (N, *g, f*Co).
     """
     nsp = xp.ndim - 2
+    dims = _pdims(nsp, dims)
     dt = dtype or xp.dtype
-    # shift_pack is a residual-free custom_vjp (the op is linear): no
-    # second (g+1)^d x 2^d C residual is kept alive per conv (~200 MB
-    # each at 144^3 x 32ch), and no backward-pass recompute either.
-    # Cast BEFORE the shift: halves the copy's traffic when the input is
-    # f32 and keeps the pallas kernel on bf16 blocks.
-    from hdenseformer_tpu.ops.shift_pack import shift_pack
+    if len(dims) == nsp:
+        # shift_pack is a residual-free custom_vjp (the op is linear): no
+        # second (g+1)^d x 2^d C residual is kept alive per conv (~200 MB
+        # each at 144^3 x 32ch), and no backward-pass recompute either.
+        # Cast BEFORE the shift: halves the copy's traffic when the input
+        # is f32 and keeps the pallas kernel on bf16 blocks.
+        from hdenseformer_tpu.ops.shift_pack import shift_pack
 
-    xs = shift_pack(xp.astype(dt))
-    wexp = expand_kernel(w).astype(dt)
+        xs = shift_pack(xp.astype(dt))
+    else:
+        xs = plain_to_shifted(xp.astype(dt), dims)
+    wexp = expand_kernel(w, dims).astype(dt)
+    pad = [(0, 0) if i in dims else (1, 1) for i in range(nsp)]
     return jax.lax.conv_general_dilated(
-        xs, wexp, (1,) * nsp, "VALID",
+        xs, wexp, (1,) * nsp, pad,
         dimension_numbers=_dim_numbers(nsp),
     )
 
 
-def conv3_packed_p2s(xp: Array, w: Array, dtype=None) -> Array:
+def conv3_packed_p2s(xp: Array, w: Array, dtype=None, dims=None) -> Array:
     """SAME 3^d fine conv, packed-plain input -> packed-SHIFTED output.
 
     Output slot (cell j, block p) holds fine position 2j - p over
-    j in [0, g] ((g+1)^d cells). Slots outside the fine grid (per dim:
-    j=0 with p=1, j=g with p=0) hold conv garbage and MUST be zero-masked
-    by the consumer (``ops.fused_norm.instance_norm_relu(shifted=True)``
-    does; ``shifted_mask_factors`` builds the mask) before the values are
-    read as zero padding by ``conv3_packed_s2p``.
+    j in [0, g] (g+1 cells per packed dim). Slots outside the fine grid
+    (per packed dim: j=0 with p=1, j=g with p=0) hold conv garbage and
+    MUST be zero-masked by the consumer
+    (``ops.fused_norm.instance_norm_relu(shifted=...)`` does;
+    ``shifted_mask_factors`` builds the mask) before the values are read
+    as zero padding by ``conv3_packed_s2p``.
     """
     nsp = xp.ndim - 2
+    dims = _pdims(nsp, dims)
     dt = dtype or xp.dtype
-    wexp = expand_kernel_p2s(w).astype(dt)
+    wexp = expand_kernel_p2s(w, dims).astype(dt)
     return jax.lax.conv_general_dilated(
         xp.astype(dt), wexp, (1,) * nsp, [(1, 1)] * nsp,
         dimension_numbers=_dim_numbers(nsp),
     )
 
 
-def conv3_packed_s2p(xs: Array, w: Array, dtype=None) -> Array:
+def conv3_packed_s2p(xs: Array, w: Array, dtype=None, dims=None) -> Array:
     """SAME 3^d fine conv, packed-SHIFTED input -> packed-plain output.
 
     The input is what ``conv3_packed_p2s`` (after pad masking) or
     ``plain_to_shifted`` produces; this is ``conv3_packed`` minus the
-    shift — a plain VALID 2^d conv with the expanded kernel.
+    shift — a VALID 2-tap conv on packed dims, SAME 3-tap on the rest.
     """
     nsp = xs.ndim - 2
+    dims = _pdims(nsp, dims)
     dt = dtype or xs.dtype
-    wexp = expand_kernel(w).astype(dt)
+    wexp = expand_kernel(w, dims).astype(dt)
+    pad = [(0, 0) if i in dims else (1, 1) for i in range(nsp)]
     return jax.lax.conv_general_dilated(
-        xs.astype(dt), wexp, (1,) * nsp, "VALID",
+        xs.astype(dt), wexp, (1,) * nsp, pad,
         dimension_numbers=_dim_numbers(nsp),
     )
 
 
 @lru_cache(maxsize=None)
-def shifted_mask_factors(gshape: tuple, fc: int, c: int):
-    """Per-dim (g_i + 1, fC) float32 {0,1} factors whose broadcast product
-    masks the out-of-grid slots of a packed-shifted tensor: slot (j, p) is
-    a pad iff per some dim (j == 0 and p-bit == 1) or (j == g and
-    p-bit == 0). Kept factored (a few KB each) so XLA fuses the masking
-    multiplies into neighboring elementwise work instead of materializing
-    a full-resolution mask."""
-    nsp = len(gshape)
+def shifted_mask_factors(sshape: tuple, fc: int, c: int, dims: tuple = None):
+    """Per-PACKED-dim (dim_index, (s_i, fC) float32 {0,1} factor) pairs
+    whose broadcast product masks the out-of-grid slots of a
+    packed-shifted tensor: slot (j, p) is a pad iff per some packed dim
+    (j == 0 and p-bit == 1) or (j == s-1 and p-bit == 0). ``sshape`` is
+    the SHIFTED tensor's spatial shape. Kept factored (a few KB each) so
+    XLA fuses the masking multiplies into neighboring elementwise work
+    instead of materializing a full-resolution mask."""
+    nsp = len(sshape)
+    dims = _pdims(nsp, dims)
+    npk = len(dims)
     pidx = np.arange(fc) // c
     out = []
-    for i in range(nsp):
-        b = (pidx >> (nsp - 1 - i)) & 1
-        m = np.ones((gshape[i] + 1, fc), np.float32)
+    for j, i in enumerate(dims):
+        b = (pidx >> (npk - 1 - j)) & 1
+        m = np.ones((sshape[i], fc), np.float32)
         m[0, b == 1] = 0.0
-        m[gshape[i], b == 0] = 0.0
-        out.append(m)
+        m[sshape[i] - 1, b == 0] = 0.0
+        out.append((i, m))
     return tuple(out)
 
 
-def apply_shifted_mask(y: Array, dtype=None) -> Array:
+def apply_shifted_mask(y: Array, dtype=None, dims=None) -> Array:
     """Zero the pad slots of a packed-shifted tensor (broadcast product of
     ``shifted_mask_factors``; fuses into neighboring elementwise ops)."""
     nsp = y.ndim - 2
+    dims = _pdims(nsp, dims)
     fc = y.shape[-1]
-    c = fc // (2 ** nsp)
-    g = tuple(s - 1 for s in y.shape[1:-1])
+    c = fc // (2 ** len(dims))
     dt = dtype or y.dtype
-    for i, m in enumerate(shifted_mask_factors(g, fc, c)):
+    for i, m in shifted_mask_factors(tuple(y.shape[1:-1]), fc, c, dims):
         shape = (1,) * (1 + i) + (y.shape[1 + i],) + (1,) * (nsp - 1 - i) + (fc,)
         y = y * jnp.asarray(m, dt).reshape(shape)
     return y
 
 
-def conv_transpose_packed(x: Array, w_equiv: Array, bias=None, dtype=None) -> Array:
+def conv_transpose_packed(
+    x: Array, w_equiv: Array, bias=None, dtype=None, dims=None
+) -> Array:
     """torch ConvTranspose(k3, s2, p1, op1) fine upsample, packed output.
 
     x: UNPACKED coarse grid (N, *g, C); w_equiv: the equivalent-conv
-    kernel stored by models/layers.py::ConvTranspose. Returns
-    packed-plain (N, *g, 2^d*Co) on the same coarse grid = the 2x fine
-    grid. Coarse taps are {j, j+1}: pad high side by one cell.
+    kernel stored by models/layers.py::ConvTranspose. Returns packed-plain
+    on the coarse grid (packed dims; coarse taps {j, j+1}: pad high side
+    one cell) and the input-dilated 2x fine grid (unpacked dims; the
+    usual equivalent-conv lowering, models/layers.py:230).
     """
     nsp = x.ndim - 2
+    dims = _pdims(nsp, dims)
     dt = dtype or x.dtype
-    wexp = expand_kernel_transpose(w_equiv).astype(dt)
+    wexp = expand_kernel_transpose(w_equiv, dims).astype(dt)
+    pad = [(0, 1) if i in dims else (1, 2) for i in range(nsp)]
+    lhs_dil = tuple(1 if i in dims else 2 for i in range(nsp))
     y = jax.lax.conv_general_dilated(
-        x.astype(dt), wexp, (1,) * nsp, [(0, 1)] * nsp,
+        x.astype(dt), wexp, (1,) * nsp, pad, lhs_dilation=lhs_dil,
         dimension_numbers=_dim_numbers(nsp),
     )
     if bias is not None:
-        f = 2 ** nsp
+        f = 2 ** len(dims)
         y = y + jnp.tile(bias.astype(y.dtype), f)
     return y
 
@@ -391,7 +474,7 @@ def _dot_f32out_bwd(res, dy):
 dot_f32out.defvjp(_dot_f32out_fwd, _dot_f32out_bwd)
 
 
-def conv1_packed(xp: Array, w1: Array, bias=None) -> Array:
+def conv1_packed(xp: Array, w1: Array, bias=None, dims=None) -> Array:
     """1^d conv (e.g. a deep-supervision head) in packed space, f32 out.
 
     Lowered as ONE (2^d C, 2^d Co) matmul with a block-diagonal expanded
@@ -402,7 +485,7 @@ def conv1_packed(xp: Array, w1: Array, bias=None) -> Array:
     the f32 accumulate already provides; output and bias stay f32.
     """
     nsp = xp.ndim - 2
-    f = 2 ** nsp
+    f = 2 ** len(_pdims(nsp, dims))
     c = xp.shape[-1] // f
     co = w1.shape[-1]
     w = w1.reshape(c, co).astype(xp.dtype)
@@ -414,14 +497,29 @@ def conv1_packed(xp: Array, w1: Array, bias=None) -> Array:
     return y
 
 
-def max_pool_packed(xp: Array) -> Array:
-    """k2 s2 maxpool of the fine grid == a max over the p axis. Returns
-    the UNPACKED coarse grid (which is the next stage's fine grid)."""
+def max_pool_packed(xp: Array, dims=None) -> Array:
+    """k2 s2 maxpool of the fine grid == a max over the p axis (packed
+    dims) + a pairwise spatial max (unpacked dims). Returns the UNPACKED
+    coarse grid (which is the next stage's fine grid)."""
     nsp = xp.ndim - 2
-    f = 2 ** nsp
+    dims = _pdims(nsp, dims)
+    f = 2 ** len(dims)
     c = xp.shape[-1] // f
     xr = xp.reshape(xp.shape[:-1] + (f, c))
-    return jnp.max(xr, axis=-2)
+    y = jnp.max(xr, axis=-2)
+    for i in range(nsp):
+        if i in dims:
+            continue
+        ax = 1 + i
+        s = y.shape[ax]
+        if s % 2:  # torch MaxPool VALID semantics: truncate the odd tail
+            y = jax.lax.slice_in_dim(y, 0, s - 1, axis=ax)
+            s -= 1
+        y = jnp.max(
+            y.reshape(y.shape[:ax] + (s // 2, 2) + y.shape[ax + 1:]),
+            axis=ax + 1,
+        )
+    return y
 
 
 def instance_norm_relu_packed(
@@ -430,16 +528,17 @@ def instance_norm_relu_packed(
     bias: Optional[Array] = None,
     epsilon: float = 1e-5,
     relu: bool = True,
+    dims=None,
 ) -> Array:
     """InstanceNorm(+affine)+ReLU over the fine grid, in packed space.
 
     Statistics per (sample, original channel) reduce over (spatial, p) —
     computed as per-PACKED-channel spatial moments (a standard lane-wise
-    reduction) followed by the (p, c) regroup on the length-2^d*C moment
+    reduction) followed by the (p, c) regroup on the length-f*C moment
     vectors, so the activation tensor itself is never reshuffled.
     """
     nsp = xp.ndim - 2
-    f = 2 ** nsp
+    f = 2 ** len(_pdims(nsp, dims))
     c = xp.shape[-1] // f
     x32 = xp.astype(jnp.float32)
     axes = tuple(range(1, xp.ndim - 1))
@@ -461,7 +560,7 @@ def instance_norm_relu_packed(
     return y.astype(xp.dtype)
 
 
-def upsample2x_packed(x: Array) -> Array:
+def upsample2x_packed(x: Array, dims=None) -> Array:
     """x2 half-pixel linear upsample (torch ``align_corners=False``), with
     the fine output emitted directly in packed-plain layout.
 
@@ -469,10 +568,12 @@ def upsample2x_packed(x: Array) -> Array:
     out_fine[2j+1] = 0.75 in[j] + 0.25 in[j+1] (edge-clamped) — exactly
     ``ops/resize.py::upsample_linear`` composed with ``pack``, but as a
     handful of shifted adds on the coarse grid instead of fine-grid
-    interpolation + repacking.
+    interpolation + repacking. Unpacked dims interleave spatially.
     """
     nsp = x.ndim - 2
+    dims = _pdims(nsp, dims)
     t = x
+    npar = 0  # parity axes appended so far (all after the spatial axes)
     for d in range(nsp):
         ax = 1 + d
         pad = [(0, 0)] * t.ndim
@@ -489,16 +590,22 @@ def upsample2x_packed(x: Array) -> Array:
         hi = tp[sl(2, g + 2)]
         even = 0.25 * lo + 0.75 * t
         odd = 0.75 * t + 0.25 * hi
-        # parity axes accumulate BEFORE the channel axis (parity-major)
-        t = jnp.stack([even, odd], axis=1 + nsp + d)
+        if d in dims:
+            # parity axes accumulate BEFORE the channel axis (parity-major)
+            t = jnp.stack([even, odd], axis=1 + nsp + npar)
+            npar += 1
+        else:
+            # fine spatial interleave: (..., g, 2, ...) -> (..., 2g, ...)
+            t = jnp.stack([even, odd], axis=ax + 1)
+            t = t.reshape(t.shape[:ax] + (2 * g,) + t.shape[ax + 2:])
     return t.reshape(t.shape[: 1 + nsp] + (-1,))
 
 
-def concat_packed(tensors) -> Array:
+def concat_packed(tensors, dims=None) -> Array:
     """Channel concat in packed space: per-parity interleave of the
     constituent channel blocks."""
     nsp = tensors[0].ndim - 2
-    f = 2 ** nsp
+    f = 2 ** len(_pdims(nsp, dims))
     parts = [t.reshape(t.shape[:-1] + (f, t.shape[-1] // f)) for t in tensors]
     out = jnp.concatenate(parts, axis=-1)
     return out.reshape(out.shape[:-2] + (-1,))

@@ -148,3 +148,25 @@ def test_s2d_off_matches_on_f32():
         outs[s2d] = model.apply(variables, x, train=False)
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_partial_rank_matches_fine_f32():
+    """Auto-style spec {0: full, 1: last-dim partial} == fine-grid path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hdenseformer_tpu.models import get_net
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 2).astype(np.float32))
+    outs = {}
+    for key, s2d in (("fine", False), ("partial", {0: True, 1: (2,)})):
+        model = get_net(
+            "HDenseFormer_32", channels=2, num_classes=2, input_shape=(16, 16, 16),
+            transformer_depth=8, remat=False, s2d=s2d,
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+        outs[key] = model.apply(variables, x, train=False)
+    for a, b in zip(outs["fine"], outs["partial"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

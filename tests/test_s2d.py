@@ -229,3 +229,153 @@ def test_shifted_mask_factors_match_plain_to_shifted_zeros():
     ones = jnp.ones_like(xs)
     mask = apply_shifted_mask(ones)
     np.testing.assert_array_equal(np.asarray(mask) != 0, np.asarray(xs) != 0)
+
+
+# ---------------------------------------------------------------------------
+# partial-rank packing (``dims`` subsets): the 64-channel-level form
+# ---------------------------------------------------------------------------
+
+PARTIAL_DIMS = [(2,), (0,), (1, 2), (0, 2), (0, 1, 2)]
+
+
+@pytest.mark.parametrize("dims", PARTIAL_DIMS)
+def test_partial_pack_unpack_roundtrip(dims):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 8, 4, 5).astype(np.float32))
+    np.testing.assert_array_equal(unpack(pack(x, dims), dims), x)
+
+
+def test_pack_last_dim_is_contiguous_reshape():
+    """Last-dim-only packing == a plain reshape (zero data movement)."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 4, 4, 6, 3).astype(np.float32)
+    got = np.asarray(pack(jnp.asarray(x), (2,)))
+    np.testing.assert_array_equal(got, x.reshape(2, 4, 4, 3, 6))
+
+
+@pytest.mark.parametrize("dims", PARTIAL_DIMS)
+def test_partial_p2s_s2p_chain_equals_two_fine_convs(dims):
+    from hdenseformer_tpu.ops.s2d import (
+        apply_shifted_mask,
+        conv3_packed_p2s,
+        conv3_packed_s2p,
+    )
+
+    rng = np.random.RandomState(9)
+    C, Cm, Co = 3, 6, 4
+    x = jnp.asarray(rng.randn(2, 6, 8, 4, C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(3, 3, 3, C, Cm).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.randn(3, 3, 3, Cm, Co).astype(np.float32) * 0.2)
+
+    def fine(x, w1, w2):
+        y = jax.lax.conv_general_dilated(
+            x, w1, (1,) * 3, [(1, 1)] * 3, dimension_numbers=_dn(3)
+        )
+        return jax.lax.conv_general_dilated(
+            y, w2, (1,) * 3, [(1, 1)] * 3, dimension_numbers=_dn(3)
+        )
+
+    def packed(x, w1, w2):
+        ys = apply_shifted_mask(conv3_packed_p2s(pack(x, dims), w1, dims=dims), dims=dims)
+        return unpack(conv3_packed_s2p(ys, w2, dims=dims), dims)
+
+    np.testing.assert_allclose(
+        packed(x, w1, w2), fine(x, w1, w2), rtol=1e-4, atol=1e-4
+    )
+    loss_f = lambda fn: lambda *a: jnp.sum(fn(*a) ** 2)
+    gf = jax.grad(loss_f(fine), argnums=(0, 1, 2))(x, w1, w2)
+    gp = jax.grad(loss_f(packed), argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(gf, gp):
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("dims", PARTIAL_DIMS)
+def test_partial_conv3_and_conv1_match_fine(dims):
+    rng = np.random.RandomState(3)
+    C, Co = 3, 5
+    x = jnp.asarray(rng.randn(2, 6, 8, 4, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, C, Co).astype(np.float32) * 0.2)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1,) * 3, [(1, 1)] * 3, dimension_numbers=_dn(3)
+    )
+    got = unpack(conv3_packed(pack(x, dims), w, dims=dims), dims)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    w1 = jnp.asarray(rng.randn(1, 1, 1, C, Co).astype(np.float32))
+    ref1 = jax.lax.conv_general_dilated(
+        x, w1, (1,) * 3, [(0, 0)] * 3, dimension_numbers=_dn(3)
+    )
+    got1 = unpack(conv1_packed(pack(x, dims), w1, dims=dims), dims)
+    np.testing.assert_allclose(got1, ref1, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dims", PARTIAL_DIMS)
+def test_partial_pool_transpose_upsample_concat_match_fine(dims):
+    from hdenseformer_tpu.ops.resize import max_pool
+    from hdenseformer_tpu.ops.s2d import upsample2x_packed
+
+    rng = np.random.RandomState(4)
+    C, Co = 3, 4
+    x = jnp.asarray(rng.randn(2, 6, 8, 4, C).astype(np.float32))
+    # maxpool
+    np.testing.assert_array_equal(max_pool_packed(pack(x, dims), dims), max_pool(x))
+    # conv transpose (equivalent-conv form, k3 s2 p1 op1)
+    wt = jnp.asarray(rng.randn(3, 3, 3, C, Co).astype(np.float32) * 0.2)
+    ref_ct = jax.lax.conv_general_dilated(
+        x, wt, (1,) * 3, [(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=_dn(3),
+    )
+    got_ct = unpack(conv_transpose_packed(x, wt, dims=dims), dims)
+    np.testing.assert_allclose(got_ct, ref_ct, rtol=1e-4, atol=1e-4)
+    # upsample2x (vs jax.image, the exact half-pixel reference)
+    up_ref = pack(
+        jax.image.resize(
+            x, (2, 12, 16, 8, C), method="linear", antialias=False
+        ),
+        dims,
+    )
+    np.testing.assert_allclose(
+        upsample2x_packed(x, dims), up_ref, rtol=1e-4, atol=1e-5
+    )
+    # concat
+    y = jnp.asarray(rng.randn(2, 6, 8, 4, Co).astype(np.float32))
+    ref_cat = pack(jnp.concatenate([x, y], axis=-1), dims)
+    got_cat = concat_packed([pack(x, dims), pack(y, dims)], dims)
+    np.testing.assert_array_equal(got_cat, ref_cat)
+
+
+@pytest.mark.parametrize("dims", [(2,), (0, 1, 2)])
+def test_partial_shifted_instance_norm_matches_fine(dims):
+    """p2s -> fused IN+ReLU(shifted dims) -> s2p == fine conv-IN-conv."""
+    from hdenseformer_tpu.ops.fused_norm import instance_norm_relu
+    from hdenseformer_tpu.ops.s2d import conv3_packed_p2s, conv3_packed_s2p
+
+    rng = np.random.RandomState(5)
+    C, Cm, Co = 3, 6, 4
+    x = jnp.asarray(rng.randn(2, 6, 8, 4, C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(3, 3, 3, C, Cm).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.randn(3, 3, 3, Cm, Co).astype(np.float32) * 0.2)
+    scale = jnp.asarray(rng.randn(Cm).astype(np.float32))
+    bias = jnp.asarray(rng.randn(Cm).astype(np.float32))
+    parity = 2 ** len(dims)
+
+    def fine(w1):
+        y = jax.lax.conv_general_dilated(
+            x, w1, (1,) * 3, [(1, 1)] * 3, dimension_numbers=_dn(3)
+        )
+        m = jnp.mean(y, axis=(1, 2, 3), keepdims=True)
+        v = jnp.mean(jnp.square(y - m), axis=(1, 2, 3), keepdims=True)
+        z = jnp.maximum((y - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias, 0.0)
+        return jax.lax.conv_general_dilated(
+            z, w2, (1,) * 3, [(1, 1)] * 3, dimension_numbers=_dn(3)
+        )
+
+    def packed(w1):
+        ys = conv3_packed_p2s(pack(x, dims), w1, dims=dims)
+        n = instance_norm_relu(ys, scale, bias, 1e-5, True, parity, dims)
+        return unpack(conv3_packed_s2p(n, w2, dims=dims), dims)
+
+    np.testing.assert_allclose(packed(w1), fine(w1), rtol=1e-4, atol=1e-4)
+    gf = jax.grad(lambda w: jnp.sum(fine(w) ** 2))(w1)
+    gp = jax.grad(lambda w: jnp.sum(packed(w) ** 2))(w1)
+    np.testing.assert_allclose(gp, gf, rtol=1e-3, atol=1e-3)
