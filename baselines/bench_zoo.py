@@ -32,7 +32,7 @@ NAMES = {
 STEPS = 8
 
 
-def bench_one(key):
+def bench_one(key, remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,7 @@ def bench_one(key):
     vol, ch, ncls = cfg["vol"], cfg["channels"], cfg["num_classes"]
     model = get_net(
         NAMES[key], channels=ch, num_classes=ncls, input_shape=vol,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, remat=remat,
     )
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1,) + vol + (ch,), jnp.float32)
@@ -74,6 +74,7 @@ def bench_one(key):
     return {
         "net": NAMES[key],
         "volume": list(vol),
+        "remat": remat,
         "step_s": round(dt, 4),
         "patches_per_sec": round(1.0 / dt, 3),
         "mvox_per_sec": round(voxels / dt / 1e6, 1),
@@ -86,7 +87,16 @@ def main():
 
     enable_compilation_cache()
     keys = sys.argv[1:] or ["unetr", "transbts"]
-    out = {k: bench_one(k) for k in keys}
+    out = {}
+    for k in keys:
+        try:
+            out[k] = bench_one(k)
+        except Exception:
+            # HBM OOM at reference-scale volume (the relay surfaces it as
+            # an opaque compile-helper HTTP 500): retry checkpointed
+            out[k] = bench_one(k, remat=True)
+            out[k]["note"] = "remat=False exceeds 16G HBM at this volume"
+        print(k, json.dumps(out[k]))  # incremental: survive later failures
     print(json.dumps(out, indent=1))
 
 

@@ -41,7 +41,10 @@ def get_net(
     if net_name == "hecktor20top1":
         from hdenseformer_tpu.models.hecktor20top1 import hecktertop1
 
-        return hecktertop1(in_channels=channels, n_cls=num_classes, dtype=dtype)
+        return hecktertop1(
+            in_channels=channels, n_cls=num_classes, dtype=dtype,
+            remat=bool(remat),
+        )
     if net_name == "TransBTS":
         from hdenseformer_tpu.models.transbts import TransBTS
 

@@ -130,18 +130,25 @@ class Hecktor20Top1(nn.Module):
     n_filters: int = 32
     reduction: int = 2
     dtype: Optional[jnp.dtype] = None
+    # checkpoint every conv block: at 144^3 batch 1 the stored residuals
+    # exceed the 16 GB chip (17.67G measured); remat fits it
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         nf = self.n_filters
         r = self.reduction
         dt = self.dtype
+        Res = nn.remat(RESseNormConv) if self.remat else RESseNormConv
+        Sen = (
+            nn.remat(FastSmoothSeNormConv) if self.remat else FastSmoothSeNormConv
+        )
 
         def res(out, name, k=3, p=1):
-            return RESseNormConv(out, r, k, 1, p, dt, name=name)
+            return Res(out, r, k, 1, p, dt, name=name)
 
         def sen(out, name):
-            return FastSmoothSeNormConv(out, r, 3, 1, 1, dt, name=name)
+            return Sen(out, r, 3, 1, 1, dt, name=name)
 
         ds0 = res(nf, "block_1_1_left", k=7, p=3)(x)
         ds0 = res(nf, "block_1_2_left")(ds0)
@@ -191,5 +198,8 @@ class Hecktor20Top1(nn.Module):
         return Conv(self.n_cls, 1, name="conv1x1")(h.astype(jnp.float32))
 
 
-def hecktertop1(in_channels, n_cls, dtype=None):
-    return Hecktor20Top1(in_channels=in_channels, n_cls=n_cls, n_filters=32, dtype=dtype)
+def hecktertop1(in_channels, n_cls, dtype=None, remat=False):
+    return Hecktor20Top1(
+        in_channels=in_channels, n_cls=n_cls, n_filters=32, dtype=dtype,
+        remat=remat,
+    )
