@@ -25,7 +25,7 @@ if "xla_force_host_platform_device_count" not in prev:
 # all-reduce far apart, tripping XLA:CPU's default 40 s rendezvous
 # termination. Scale the timeout to the realistic per-device workload.
 prev += (
-    " --xla_cpu_collective_call_warn_stuck_seconds=600"
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
     " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
 )
 os.environ["XLA_FLAGS"] = prev

@@ -61,6 +61,29 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _percopy(x: Array, tag: int) -> Array:
+    """A structurally-distinct alias of ``x`` for one fused pass.
+
+    The VJP below phrases every full-resolution pass to read only the
+    bf16 inputs so each pass's ``astype(f32)`` re-fuses into its own
+    consumer — but HLO CSE unifies the textually-identical converts
+    into ONE multi-consumer node, which XLA then materializes as an
+    f32 full-resolution tensor (>=31 ms/step of copies/relayouts at
+    the packed level-0, round-3 trace in baselines/profile_notes.md).
+    An optimization-barrier whose tuple carries a distinct constant per
+    pass cannot be CSE'd, so each pass keeps a private convert. The
+    barrier itself moves no data: its operand is the already-
+    materialized bf16 residual.
+    """
+    import os as _os
+
+    if _os.environ.get("HDF_NORM_BARRIER", "1") == "0":
+        return x
+    return jax.lax.optimization_barrier(
+        (x, jnp.full((), tag, jnp.int32))
+    )[0]
+
+
 def _tile(v: Array, parity: int) -> Array:
     """(N, C) per-channel vector -> (N, parity*C) packed broadcast."""
     return jnp.tile(v, (1, parity)) if parity > 1 else v
@@ -135,11 +158,22 @@ def _stats(x: Array, parity: int, shifted: bool = False):
     """
     axes = tuple(range(1, x.ndim - 1))
     m = _count(x, parity, shifted)
-    x32 = x.astype(jnp.float32)
-    m1 = _group(jnp.sum(_mask(x32, shifted), axis=axes), parity) / m
+    # mean / variance reduce passes each read a private alias of x so
+    # their astype(f32) converts stay in-pass (see _percopy)
+    m1 = _group(
+        jnp.sum(_mask(_percopy(x, 10).astype(jnp.float32), shifted), axis=axes),
+        parity,
+    ) / m
     mean_bc = _bc(m1, parity, x)
     v = _group(
-        jnp.sum(_mask(jnp.square(x32 - mean_bc), shifted), axis=axes), parity
+        jnp.sum(
+            _mask(
+                jnp.square(_percopy(x, 11).astype(jnp.float32) - mean_bc),
+                shifted,
+            ),
+            axis=axes,
+        ),
+        parity,
     ) / m
     return m1, v, mean_bc, m
 
@@ -166,7 +200,7 @@ def instance_norm_relu(
 
 def _normalize(x, mean_bc, inv_bc, scale, bias, relu, parity, shifted):
     """The forward normalize pass: reads bf16 x, converts in-chain."""
-    y = (x.astype(jnp.float32) - mean_bc) * inv_bc
+    y = (_percopy(x, 12).astype(jnp.float32) - mean_bc) * inv_bc
     if scale is not None:
         y = y * _vec(scale, parity, x) + _vec(bias, parity, x)
     if relu:
@@ -218,8 +252,9 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
     # materialized before this restructure — baselines/profile_notes.md)
     dy_eff = dy
     if relu:
-        dy_eff = jnp.where(_relu_mask(x, mean, inv, scale, bias, parity),
-                           dy_eff, jnp.zeros((), dy.dtype))
+        dy_eff = jnp.where(
+            _relu_mask(_percopy(x, 0), mean, inv, scale, bias, parity),
+            dy_eff, jnp.zeros((), dy.dtype))
     if shifted:
         from hdenseformer_tpu.ops.s2d import shifted_mask_factors
 
@@ -237,7 +272,10 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
                 jnp.zeros((), dy.dtype),
             )
 
-    dy32 = dy_eff.astype(jnp.float32)
+    # reduce pass: private aliases of (x, dy_eff) so the f32 converts
+    # belong to this pass alone (see _percopy)
+    xR = _percopy(x, 1)
+    dy32 = _percopy(dy_eff, 2).astype(jnp.float32)
     mean_bc = _bc(mean, parity, x)
     # dual product-reduce over (x, dy_eff): t2 centered (single consumer
     # of the (x32 - mean) chain); s2 = inv * t2 pulls inv out of the pass
@@ -248,11 +286,11 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
         # experimental: t2 = sum(dy*x) - mean*t1 — no centered chain in
         # the reduce pass at all, error linear in |mean|/std
         t2 = _group(
-            jnp.sum(dy32 * x.astype(jnp.float32), axis=axes), parity
+            jnp.sum(dy32 * xR.astype(jnp.float32), axis=axes), parity
         ) - mean * t1
     else:
         t2 = _group(
-            jnp.sum(dy32 * (x.astype(jnp.float32) - mean_bc), axis=axes), parity
+            jnp.sum(dy32 * (xR.astype(jnp.float32) - mean_bc), axis=axes), parity
         )
     s1, s2 = t1, inv * t2
 
@@ -266,10 +304,13 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
     #   A = -coef*s1/m + mean*coef*inv*s2/m = -coef*s1/m - mean*B
     B = -(coef * inv) * (s2 / m)
     A = -(coef * (s1 / m)) - mean * B
+    # dx pass: private aliases again — reads bf16 (x, dy_eff), converts
+    # in-chain, writes bf16 dx
     dx = (
-        _bc(coef, parity, x) * dy32
+        _bc(coef, parity, x) * _percopy(dy_eff, 3).astype(jnp.float32)
         + _bc(jnp.broadcast_to(A, mean.shape), parity, x)
-        + x.astype(jnp.float32) * _bc(jnp.broadcast_to(B, mean.shape), parity, x)
+        + _percopy(x, 4).astype(jnp.float32)
+        * _bc(jnp.broadcast_to(B, mean.shape), parity, x)
     )
     dx = _mask(dx, shifted).astype(x.dtype)
 
