@@ -91,6 +91,11 @@ class ExperimentConfig:
     use_pallas: Optional[bool] = None  # None=auto: Pallas kernels on TPU
     remat: bool = True  # rematerialize model blocks (needed for 144^3 batch>=2/chip)
     s2d: Optional[bool] = None  # None=auto: space-to-depth packed narrow-channel levels
+    # fused-norm anti-CSE barriers: "auto" (TPU only) | "on" | "off"
+    # (utils/flags.py; resolved once before the first trace)
+    norm_barrier: str = "auto"
+    # half-shift gather impl: "xla" (default, A/B-fastest end-to-end) | "pallas"
+    shift_pack: str = "xla"
     seed: int = 0
 
     # augmentation selections (same indexing as trainer.py:128-176)
@@ -174,6 +179,8 @@ class ExperimentConfig:
             use_pallas=self.use_pallas,
             remat=self.remat,
             s2d=self.s2d,
+            norm_barrier=self.norm_barrier,
+            shift_pack=self.shift_pack,
         )
 
     def setup_trainer_kwargs(self) -> dict:

@@ -74,10 +74,14 @@ def _percopy(x: Array, tag: int) -> Array:
     pass cannot be CSE'd, so each pass keeps a private convert. The
     barrier itself moves no data: its operand is the already-
     materialized bf16 residual.
-    """
-    import os as _os
 
-    if _os.environ.get("HDF_NORM_BARRIER", "1") == "0":
+    Gated by utils/flags.py::norm_barrier_enabled (default "auto": on
+    for TPU only — the barriers defeat fusion XLA:CPU relies on and the
+    HBM-traffic win they buy is TPU-specific).
+    """
+    from hdenseformer_tpu.utils.flags import norm_barrier_enabled
+
+    if not norm_barrier_enabled():
         return x
     return jax.lax.optimization_barrier(
         (x, jnp.full((), tag, jnp.int32))
@@ -280,9 +284,9 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
     # dual product-reduce over (x, dy_eff): t2 centered (single consumer
     # of the (x32 - mean) chain); s2 = inv * t2 pulls inv out of the pass
     t1 = _group(jnp.sum(dy32, axis=axes), parity)  # (N, C)
-    import os as _os
+    from hdenseformer_tpu.utils.flags import norm_t2_mode
 
-    if _os.environ.get("HDF_NORM_T2") == "uncentered":
+    if norm_t2_mode() == "uncentered":
         # experimental: t2 = sum(dy*x) - mean*t1 — no centered chain in
         # the reduce pass at all, error linear in |mean|/std
         t2 = _group(

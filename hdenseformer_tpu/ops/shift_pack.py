@@ -223,16 +223,16 @@ def _pallas_shift(x: Array, forward: bool, interpret: bool = False) -> Array:
 
 
 def _use_pallas(x: Array) -> bool:
-    import os
-
     # Benchmark-gated OFF by default (round-3 on-TPU A/B, PARITY.md):
     # isolated the kernel beats the XLA slice/concat ~2.5x (1.9 ms vs
     # 4.8 ms at 72^3 x 256ch bf16), but the full 144^3 train step runs
     # 377 ms with it vs 333 ms pure-XLA — the custom call is an
     # optimization barrier where XLA otherwise fuses the shift into its
-    # neighbors. Set HDF_SHIFT_PACK=pallas to re-evaluate.
-    mode = os.environ.get("HDF_SHIFT_PACK", "xla")
-    if mode != "pallas":
+    # neighbors. utils/flags.py::shift_pack (env HDF_SHIFT_PACK, read
+    # once at import) = "pallas" to re-evaluate.
+    from hdenseformer_tpu.utils.flags import shift_pack_mode
+
+    if shift_pack_mode() != "pallas":
         return False
     nsp = x.ndim - 2
     if nsp not in (2, 3):

@@ -57,6 +57,7 @@ from hdenseformer_tpu.metrics.batch import compute_dice
 from hdenseformer_tpu.metrics.running import AverageMeter, RunningDice, confusion_matrix_device
 from hdenseformer_tpu.models import get_net
 from hdenseformer_tpu.parallel.mesh import make_mesh, shard_batch
+from hdenseformer_tpu.utils.flags import set_norm_barrier, set_shift_pack
 from hdenseformer_tpu.train.checkpoint import (
     dfs_remove_weight,
     load_checkpoint,
@@ -283,7 +284,12 @@ class SemanticSeg:
         device_augment=False,
         remat=True,
         s2d=None,
+        norm_barrier="auto",
+        shift_pack="xla",
     ):
+        # performance knobs resolved once, before any trace (utils/flags.py)
+        set_norm_barrier(norm_barrier)
+        set_shift_pack(shift_pack)
         self.net_name = net_name
         self.encoder_name = encoder_name
         self.lr = lr
