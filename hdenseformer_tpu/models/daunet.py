@@ -140,6 +140,11 @@ class DAUNet(nn.Module):
     bilinear: bool = True
     dropout_flag: bool = True
     dtype: Optional[jnp.dtype] = None
+    # maxpool lowering pinned per-model to its measured best: the round-4
+    # same-process A/B at 144^3 bf16 had this model FASTER with
+    # reduce_window (405.7 vs 420.4 ms/step reshape,
+    # baselines/ab_r4_zoo.py) — the opposite of the flagship.
+    pool_mode: str = "reduce_window"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -154,11 +159,14 @@ class DAUNet(nn.Module):
                 dtype=self.dtype, name=name, **(builder_kw or kw),
             )
 
+        def pool(t):
+            return max_pool(t, mode=self.pool_mode)
+
         x1 = block(w[0], dp[0], "inc", builder_kw=_BUILDERS["plain"])(x)
-        x2 = block(w[1], dp[1], "down1")(max_pool(x1))
-        x3 = block(w[2], dp[2], "down2")(max_pool(x2))
-        x4 = block(w[3], dp[3], "down3")(max_pool(x3))
-        x5 = block(w[4] // factor, dp[4], "down4")(max_pool(x4))
+        x2 = block(w[1], dp[1], "down1")(pool(x1))
+        x3 = block(w[2], dp[2], "down2")(pool(x2))
+        x4 = block(w[3], dp[3], "down3")(pool(x3))
+        x5 = block(w[4] // factor, dp[4], "down4")(pool(x4))
 
         def up(x_small, skip, out_ch, depth, name):
             if self.bilinear:

@@ -20,6 +20,7 @@ static shapes.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -47,6 +48,15 @@ def resize_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
     for axis, out_len in enumerate(size):
         in_len = x.shape[axis + 1]
         if in_len == out_len:
+            continue
+        if in_len % out_len == 0:
+            # integer shrink ratio r: floor(i*r) == i*r — a strided slice.
+            # (jnp.take's gather lowering costs full-tensor relayout copies
+            # on TPU: ~6.7 ms/step on the 144^3 DS label pyramid, r4 trace)
+            r = in_len // out_len
+            idx = [slice(None)] * x.ndim
+            idx[axis + 1] = slice(0, in_len, r)
+            x = x[tuple(idx)]
             continue
         idx = np.floor(np.arange(out_len) * (in_len / out_len)).astype(np.int32)
         idx = np.minimum(idx, in_len - 1)
@@ -150,9 +160,91 @@ def upsample_linear_align_corners(x: jax.Array, scale: int | Sequence[int]) -> j
     return resize_linear_align_corners(x, size)
 
 
-def max_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
-    """MaxPool over all spatial dims (torch ``MaxPool2d/3d(k, s)``)."""
+def _window_split(x: jax.Array, window: int):
+    """Trim odd remainders (torch VALID floor semantics) and reshape to
+    [B, o1, w, o2, w, ..., C] with per-dim window axes."""
+    spatial = x.shape[1:-1]
+    trimmed = [s - s % window for s in spatial]
+    if any(t != s for t, s in zip(trimmed, spatial)):
+        x = x[(slice(None),) + tuple(slice(0, t) for t in trimmed) + (slice(None),)]
+    shape = [x.shape[0]]
+    for t in trimmed:
+        shape += [t // window, window]
+    shape.append(x.shape[-1])
+    return x.reshape(shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_ws(x: jax.Array, window: int) -> jax.Array:
     nsp = x.ndim - 2
+    xs = _window_split(x, window)
+    return jnp.max(xs, axis=tuple(range(2, 2 + 2 * nsp, 2)))
+
+
+def _max_pool_ws_fwd(x, window):
+    y = _max_pool_ws(x, window)
+    return y, (x, y)
+
+
+def _max_pool_ws_bwd(window, res, dy):
+    # torch (and XLA select-and-scatter) route the gradient to the FIRST
+    # max in flat row-major window order on ties — ties are ubiquitous
+    # after ReLU, so "all ties share dy" (jnp.max's native VJP) diverges
+    # from torch gradients. Move the window axes to one contiguous flat
+    # axis (a lane-preserving permutation: C stays minor) and take the
+    # first tie by cumulative count along it.
+    x, y = res
+    nsp = x.ndim - 2
+    xs = _window_split(x, window)  # [B, o1, w, o2, w, ..., C]
+    perm = ([0] + [1 + 2 * i for i in range(nsp)]
+            + [2 + 2 * i for i in range(nsp)] + [xs.ndim - 1])
+    xt = xs.transpose(perm)  # [B, o1..onsp, w..w, C]
+    osp = xt.shape[1:1 + nsp]
+    xf = xt.reshape((x.shape[0],) + osp + (window**nsp, x.shape[-1]))
+    mask = xf == y[..., None, :]
+    first = jnp.cumsum(mask.astype(jnp.int32), axis=-2) == 1
+    sel = jnp.logical_and(mask, first)
+    dxf = jnp.where(sel, dy[..., None, :], jnp.zeros((), dy.dtype))
+    # invert: flat window axis -> per-dim window axes -> spatial
+    dxt = dxf.reshape((x.shape[0],) + osp + (window,) * nsp + (x.shape[-1],))
+    dxs = dxt.transpose(np.argsort(perm))
+    dx = dxs.reshape([x.shape[0]] + [s - s % window for s in x.shape[1:-1]]
+                     + [x.shape[-1]])
+    pads = [(0, 0)] + [(0, s % window) for s in x.shape[1:-1]] + [(0, 0)]
+    if any(p[1] for p in pads):
+        dx = jnp.pad(dx, pads)
+    return (dx,)
+
+
+_max_pool_ws.defvjp(_max_pool_ws_fwd, _max_pool_ws_bwd)
+
+
+def max_pool(
+    x: jax.Array, window: int = 2, stride: int = 2, mode: str | None = None
+) -> jax.Array:
+    """MaxPool over all spatial dims (torch ``MaxPool2d/3d(k, s)``).
+
+    For the ubiquitous window == stride case this is a reshape +
+    ``jnp.max`` over the window axes instead of ``lax.reduce_window``:
+    on TPU reduce_window (and its select-and-scatter backward) forces
+    bf16 operands into T(2,128) layouts, paying full-tensor relayout
+    copies on both sides (~10 ms/step across the 144^3 encoder, r4
+    trace); the reshape form stays in the producer's T(8,128) layout.
+    The custom VJP keeps torch's first-tie gradient routing (see
+    ``_max_pool_ws_bwd``). VALID semantics: odd remainders are sliced
+    off first (floor division, as torch does). ``mode`` overrides the
+    global A/B knob per call site (``utils/flags.py::set_max_pool``,
+    "reshape" default) — models whose recorded A/B favors the other
+    lowering pin it explicitly (DAUNet: reduce_window, PARITY.md r4).
+    """
+    from hdenseformer_tpu.utils.flags import max_pool_mode
+
+    nsp = x.ndim - 2
+    if mode is None:
+        mode = max_pool_mode()
+    assert mode in ("reshape", "reduce_window"), mode
+    if window == stride and mode == "reshape":
+        return _max_pool_ws(x, window)
     dims = (1,) + (window,) * nsp + (1,)
     strides = (1,) + (stride,) * nsp + (1,)
     return jax.lax.reduce_window(

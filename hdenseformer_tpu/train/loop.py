@@ -671,7 +671,7 @@ class SemanticSeg:
         save_path,
         state=None,
         variables=None,
-        window_batch: int = 4,
+        window_batch: int = 8,
         use_gaussian: bool = False,
         mesh=None,
         save_nii: bool = False,

@@ -4,10 +4,17 @@ The reference (PyTorch eager) starts instantly; a jit-compiled framework
 pays multi-minute XLA compiles per (shape, config) per PROCESS unless the
 executable cache persists to disk. This module turns JAX's persistent
 compilation cache on for every entry point (cli.py, bench.py,
-__graft_entry__.py) so only the first-ever process pays a given compile;
-reruns fetch the serialized executable in O(seconds) (measured:
-144^3 train-step first call 604 s -> warm-process seconds, see
-baselines/infer_latency_v5e.json).
+__graft_entry__.py) so only the first-ever process pays a given compile.
+
+Measured on this machine (round 4, fresh processes, same 144^3 b1
+depth24 train step): cold cache first call 595-605 s; warm persistent
+cache 297 s. Through the remote-TPU relay the cache halves startup but
+does NOT make it O(seconds): the residual ~300 s is relay-server-side
+executable load/runtime setup, outside the client cache's reach
+(PARITY.md round-3 note). On locally-attached TPUs (no relay) the
+client compile is the dominant term and the cache removes it. On the
+CPU backend the effect is direct: the driver's 8-device dryrun drops
+194 s -> 85 s warm (__graft_entry__.py).
 
 Opt out with HDF_TPU_NO_CACHE=1; override the location with
 HDF_TPU_CACHE_DIR.

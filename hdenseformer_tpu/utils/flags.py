@@ -26,6 +26,13 @@ shift_pack : "xla" | "pallas"          (env HDF_SHIFT_PACK)
     Benchmark-gated to "xla" by default: the Pallas kernel wins isolated
     (2.5x) but loses end-to-end because the custom call blocks XLA fusion
     with its neighbors (round-3 A/B, PARITY.md).
+
+max_pool : "reshape" | "reduce_window"  (env HDF_MAX_POOL)
+    window==stride max-pool lowering (ops/resize.py::max_pool).
+    "reshape" (default) stays in the producer's T(8,128) layout;
+    reduce_window + its select-and-scatter backward force T(2,128)
+    relayouts (~10 ms/step on the 144^3 flagship, round-4 trace). Kept
+    as a knob for same-process A/Bs.
 """
 from __future__ import annotations
 
@@ -77,3 +84,17 @@ def set_shift_pack(mode: str) -> None:
 
 def shift_pack_mode() -> str:
     return _shift_pack
+
+
+_max_pool: str = os.environ.get("HDF_MAX_POOL", "reshape")
+
+
+def set_max_pool(mode: str) -> None:
+    """"reshape" | "reduce_window". Call before the first trace/compile."""
+    global _max_pool
+    assert mode in ("reshape", "reduce_window"), mode
+    _max_pool = mode
+
+
+def max_pool_mode() -> str:
+    return _max_pool

@@ -81,3 +81,29 @@ def test_matrix_resize_matches_torch(rng, in_size, out_size):
     ).numpy()
     got = to_nchw(resize_linear_matrix(jnp.asarray(to_channels_last(x)), out_size))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_gradient_matches_torch_on_ties(rng):
+    """The reshape-max pooling's custom VJP must route the gradient to
+    the FIRST max in flat row-major window order exactly like torch
+    (and like the previous select-and-scatter lowering) — ties are
+    ubiquitous after ReLU, so all-ties-share-dy semantics would diverge
+    (ops/resize.py::_max_pool_ws_bwd)."""
+    import jax
+
+    for shape in [(2, 3, 8, 8, 8), (1, 4, 9, 7, 10), (2, 5, 12, 10), (1, 2, 4, 4)]:
+        nsp = len(shape) - 2
+        # quantized relu-like values: many exact ties, including zeros
+        x = np.maximum(rng.randn(*shape), 0).round(0).astype(np.float32)
+        xt = torch.tensor(x, requires_grad=True)
+        pool = F.max_pool3d if nsp == 3 else F.max_pool2d
+        yt = pool(xt, 2, 2)
+        gy = rng.randn(*yt.shape).astype(np.float32)
+        yt.backward(torch.tensor(gy))
+
+        y, vjp = jax.vjp(max_pool, jnp.asarray(to_channels_last(x)))
+        np.testing.assert_array_equal(to_nchw(y), yt.detach().numpy())
+        (gj,) = vjp(jnp.asarray(to_channels_last(gy)))
+        np.testing.assert_array_equal(
+            to_nchw(gj), xt.grad.numpy(), err_msg=str(shape)
+        )
