@@ -274,10 +274,12 @@ def inference_slidingwindow(
     the whole grid either way; batching fills the MXU better). Default 8 =
     the p50-optimal setting at BOTH measured volumes (round-3/4 on-TPU
     A/Bs, baselines/infer_latency_v5e.json: 200^3 wb8 3.45 s vs wb4
-    3.98 s; LITS 448x512x512 wb8 105.6 s vs wb4 136.3 s). wb8's larger
-    first-compile now amortizes across a dataset via predict_volume's
-    lattice padding (one executable per (patch, step) lattice cell, not
-    per distinct volume shape).
+    3.98 s pre-lattice; LITS 448x512x512 wb8 105.6 s vs wb4 136.3 s).
+    wb8's larger first-compile now amortizes across a dataset via
+    predict_volume's lattice padding: one executable per (patch, step)
+    lattice cell, not per distinct volume shape — round-4 record: a new
+    190x198x214 volume in 200^3's cell ran first-call in 3.3 s where
+    round 3 paid 49-884 s of per-shape recompile.
     """
     os.makedirs(save_path, exist_ok=True)
     pathlist = sorted(glob.glob(os.path.join(test_path, "*.hdf5")))
