@@ -54,15 +54,42 @@ class DepthAttention(nn.Module):
 
     Pools (H, W), flattens (C, D) torch-order, passes through a
     C*D -> D -> C*D sigmoid MLP, gates x per (channel, depth).
+
+    ``packed=True`` accepts an s2d packed-plain tensor (ops/s2d.py):
+    the (H, W) pool regroups the tiny per-packed-channel means back to
+    fine channels, the MLP is unchanged (same params as the fine path),
+    and the per-(depth, channel) gate is laid out into the parity blocks
+    (block p reads the gate at fine depth 2j + p's D-parity bit).
     """
 
     depth: int
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
+    packed_dims: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        b, d, h, w, c = x.shape
-        y = jnp.mean(x, axis=(2, 3))  # (B, D, C)
+        if self.packed:
+            from hdenseformer_tpu.ops.s2d import _pdims
+
+            dims = _pdims(x.ndim - 2, self.packed_dims)
+            npk = len(dims)
+            f = 2**npk
+            b, dc = x.shape[0], x.shape[1]
+            c = x.shape[-1] // f
+            d = dc * (2 if 0 in dims else 1)
+            # fine mean over (H, W) == mean over coarse (H, W) and their
+            # parity bits, per (coarse D, D-parity, channel)
+            y = jnp.mean(x, axis=tuple(range(2, x.ndim - 1)))  # (B, Dc, f*C)
+            y = y.reshape((b, dc) + (2,) * npk + (c,))
+            hw_axes = tuple(2 + j for j, dd in enumerate(dims) if dd != 0)
+            if hw_axes:
+                y = jnp.mean(y, axis=hw_axes)
+            y = y.reshape(b, d, c)  # D-parity (if any) interleaves into D
+        else:
+            b, d = x.shape[0], x.shape[1]
+            c = x.shape[-1]
+            y = jnp.mean(x, axis=tuple(range(2, x.ndim - 1)))  # (B, D, C)
         y = _adaptive_avg_depth(y, self.depth)  # (B, depth, C)
         y_t = y.transpose(0, 2, 1).reshape(b, c * self.depth)  # torch (C,D) order
         hidden = (c * self.depth) // c  # reduction = channel -> hidden = depth
@@ -71,26 +98,70 @@ class DepthAttention(nn.Module):
         gate = y_t.reshape(b, c, self.depth).transpose(0, 2, 1)  # (B, depth, C)
         if self.depth != d:
             gate = _adaptive_avg_depth(gate, d)
-        return x * gate[:, :, None, None, :]
+        if not self.packed:
+            return x * gate[:, :, None, None, :]
+        from hdenseformer_tpu.ops.s2d import _pdims
+
+        dims = _pdims(x.ndim - 2, self.packed_dims)
+        npk = len(dims)
+        f = 2**npk
+        dc = x.shape[1]
+        if 0 in dims:
+            dbit = dims.index(0)  # position of D's parity bit (dim order)
+            gm = gate.reshape(b, dc, 2, c)
+            blocks = [
+                gm[:, :, (m >> (npk - 1 - dbit)) & 1, :] for m in range(f)
+            ]
+        else:
+            blocks = [gate] * f
+        gate_p = jnp.concatenate(blocks, axis=-1)
+        shape = (b, dc) + (1,) * (x.ndim - 3) + (f * c,)
+        return x * gate_p.reshape(shape)
 
 
 class SELayer(nn.Module):
-    """Global squeeze-excitation (ref DAUNet.py:26-41)."""
+    """Global squeeze-excitation (ref DAUNet.py:26-41).
+
+    ``packed=True``: the global mean regroups per-packed-channel means to
+    fine channels (parity-major blocks, ops/s2d.py); the gate tiles back.
+    Same params/shapes as the fine path.
+    """
 
     reduction: int = 16
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
+    packed_dims: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        c = x.shape[-1]
-        y = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (B, C)
+        f = 1
+        if self.packed:
+            from hdenseformer_tpu.ops.s2d import _pdims
+
+            f = 2 ** len(_pdims(x.ndim - 2, self.packed_dims))
+        c = x.shape[-1] // f
+        y = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (B, f*C)
+        if f > 1:
+            y = jnp.mean(y.reshape(-1, f, c), axis=1)  # (B, C)
         y = nn.relu(Dense(c // self.reduction, dtype=self.dtype, name="fc1")(y))
         y = jax.nn.sigmoid(Dense(c, dtype=self.dtype, name="fc2")(y))
-        return x * y.reshape(y.shape[0], *([1] * (x.ndim - 2)), c)
+        if f > 1:
+            y = jnp.tile(y, (1, f))
+        return x * y.reshape(y.shape[0], *([1] * (x.ndim - 2)), f * c)
 
 
 class DoubleConv(nn.Module):
-    """(conv-BN-ReLU) x2 with optional DA/SE/residual (ref DAUNet.py:45-185)."""
+    """(conv-BN-ReLU) x2 with optional DA/SE/residual (ref DAUNet.py:45-185).
+
+    ``packed=True`` executes the block in the s2d packed layout
+    (ops/s2d.py; same math, MXU-aligned channels on TPU): the shift-free
+    conv pair conv('out') -> BN(shifted)+ReLU -> conv('in') -> BN, with
+    layout-aware DA/SE gating. Input and output are packed-plain. Same
+    param tree as the fine path. The mixed-precision policy differs in
+    one place: the fine path's BN returns f32 activations (flax
+    ``dtype=float32``) where the packed path keeps the input dtype — the
+    packed-vs-fine equivalence is exact at f32 (tests/test_packed_bn.py).
+    """
 
     out_channels: int
     mid_channels: Optional[int] = None
@@ -100,10 +171,41 @@ class DoubleConv(nn.Module):
     residual: bool = False
     train: bool = False
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
+    packed_dims: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         mid = self.mid_channels or self.out_channels
+        if self.packed:
+            pd = self.packed_dims
+            h = Conv(
+                mid, 3, 1, 1, dtype=self.dtype, packed=True,
+                packed_shift="out", packed_dims=pd, name="conv1",
+            )(x)
+            h = BatchNorm(
+                use_running_average=not self.train, packed=True,
+                packed_dims=pd, shifted=True, fuse_relu=True, name="bn1",
+            )(h)
+            h = Conv(
+                self.out_channels, 3, 1, 1, dtype=self.dtype, packed=True,
+                packed_shift="in", packed_dims=pd, name="conv2",
+            )(h)
+            h = BatchNorm(
+                use_running_average=not self.train, packed=True,
+                packed_dims=pd, name="bn2",
+            )(h)
+            if self.use_da:
+                h = DepthAttention(
+                    depth=self.depth, dtype=self.dtype, packed=True,
+                    packed_dims=pd, name="da",
+                )(h)
+            if self.use_se:
+                h = SELayer(
+                    dtype=self.dtype, packed=True, packed_dims=pd, name="se"
+                )(h)
+            assert not self.residual, "packed residual DoubleConv unsupported"
+            return nn.relu(h)
         h = Conv(mid, 3, 1, 1, dtype=self.dtype, name="conv1")(x)
         h = BatchNorm(use_running_average=not self.train, name="bn1")(h)
         h = nn.relu(h)
@@ -145,6 +247,12 @@ class DAUNet(nn.Module):
     # reduce_window (405.7 vs 420.4 ms/step reshape,
     # baselines/ab_r4_zoo.py) — the opposite of the flagship.
     pool_mode: str = "reduce_window"
+    # space-to-depth packed execution of level 0 (the full-resolution
+    # 32-channel level — sub-MXU-lane on TPU, the same lever as the
+    # flagship's s2d auto policy). None = auto: pack when width[0] <= 32,
+    # the input is 3D, there is no residual builder, and the input's
+    # spatial dims are even. True/False force it.
+    s2d: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -152,18 +260,40 @@ class DAUNet(nn.Module):
         dp = self.depths
         kw = _BUILDERS[self.conv_builder]
         factor = 2 if self.bilinear else 1
+        if self.s2d is None:
+            pk0 = (
+                w[0] <= 32
+                and x.ndim == 5
+                and not kw.get("residual", False)
+                and all(s % 2 == 0 for s in x.shape[1:-1])
+            )
+        else:
+            pk0 = bool(self.s2d)
 
-        def block(out_ch, depth, name, mid=None, builder_kw=None):
+        def block(out_ch, depth, name, mid=None, builder_kw=None, packed=False):
             return DoubleConv(
                 out_channels=out_ch, mid_channels=mid, depth=depth, train=train,
-                dtype=self.dtype, name=name, **(builder_kw or kw),
+                dtype=self.dtype, name=name, packed=packed, **(builder_kw or kw),
             )
 
         def pool(t):
             return max_pool(t, mode=self.pool_mode)
 
-        x1 = block(w[0], dp[0], "inc", builder_kw=_BUILDERS["plain"])(x)
-        x2 = block(w[1], dp[1], "down1")(pool(x1))
+        if pk0:
+            from hdenseformer_tpu.ops.s2d import (
+                concat_packed,
+                max_pool_packed,
+                pack,
+                unpack,
+            )
+
+            x1p = block(w[0], dp[0], "inc", builder_kw=_BUILDERS["plain"],
+                        packed=True)(pack(x))
+            x1_pooled = max_pool_packed(x1p)
+        else:
+            x1 = block(w[0], dp[0], "inc", builder_kw=_BUILDERS["plain"])(x)
+            x1_pooled = pool(x1)
+        x2 = block(w[1], dp[1], "down1")(x1_pooled)
         x3 = block(w[2], dp[2], "down2")(pool(x2))
         x4 = block(w[3], dp[3], "down3")(pool(x3))
         x5 = block(w[4] // factor, dp[4], "down4")(pool(x4))
@@ -190,6 +320,23 @@ class DAUNet(nn.Module):
         y = up(x5, x4, w[3] // factor, dp[3], "up1")
         y = up(y, x3, w[2] // factor, dp[2], "up2")
         y = up(y, x2, w[1] // factor, dp[1], "up3")
+        if pk0:
+            # level-0 decoder in packed space: the skip never left it
+            if self.bilinear:
+                u = upsample_linear_align_corners(y, 2)
+            else:
+                u = ConvTranspose(
+                    y.shape[-1] // 2, 2, 2, dtype=self.dtype, name="up4_up"
+                )(y)
+            mid = (w[0] + u.shape[-1]) // 2 if self.bilinear else None
+            cat_p = concat_packed([x1p, pack(u)])
+            y = block(w[0], dp[0], "up4", mid=mid, packed=True)(cat_p)
+            if self.dropout_flag:
+                y = nn.Dropout(0.5, deterministic=not train)(y)
+            logits = Conv(self.n_classes, 1, packed=True, name="outc")(
+                y.astype(jnp.float32)
+            )
+            return unpack(logits)
         y = up(y, x1, w[0], dp[0], "up4")
         if self.dropout_flag:
             y = nn.Dropout(0.5, deterministic=not train)(y)

@@ -391,15 +391,104 @@ class LayerNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm with torch defaults (eps=1e-5, momentum 0.1 ≡ flax 0.9)."""
+class _PackedBatchNorm(nn.Module):
+    """Train/eval BatchNorm over the FINE grid of an s2d packed tensor
+    (ops/s2d.py): statistics per original channel pool over (batch,
+    spatial, parity[, minus the shifted layout's pad slots]).
+
+    Same param/variable names and shapes as ``flax.linen.BatchNorm``
+    (scale/bias params, batch_stats mean/var of shape (C,)) so the packed
+    and fine executions of a model share one checkpoint tree. Train-mode
+    normalize runs through the fused custom-VJP
+    (ops/fused_norm.py, ``batch_pooled=True``); running stats follow
+    torch bookkeeping (momentum 0.1, UNBIASED variance stored).
+    """
 
     use_running_average: bool = False
     epsilon: float = 1e-5
     momentum: float = 0.9
+    packed_dims: Optional[Tuple[int, ...]] = None
+    shifted: bool = False  # input is packed-SHIFTED (conv3_packed_p2s)
+    fuse_relu: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from hdenseformer_tpu.ops.fused_norm import (
+            instance_norm_relu as fused,
+            pooled_stats,
+        )
+        from hdenseformer_tpu.ops.s2d import _pdims, apply_shifted_mask
+
+        pdims = _pdims(x.ndim - 2, self.packed_dims)
+        parity = 2 ** len(pdims)
+        ch = x.shape[-1] // parity
+        scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((ch,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((ch,), jnp.float32)
+        )
+        spec = pdims if self.shifted else False
+        if self.use_running_average:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            g = jnp.tile(inv * scale, (parity,))
+            b = jnp.tile(bias - ra_mean.value * inv * scale, (parity,))
+            shape = (1,) * (x.ndim - 1) + (parity * ch,)
+            y = x.astype(jnp.float32) * g.reshape(shape) + b.reshape(shape)
+            if self.fuse_relu:
+                y = jnp.maximum(y, 0.0)
+            if self.shifted:
+                y = apply_shifted_mask(y, dims=pdims)
+            return y.astype(x.dtype)
+        y = fused(
+            x, scale, bias, self.epsilon, relu=self.fuse_relu, parity=parity,
+            shifted=spec, batch_pooled=True,
+        )
+        if not self.is_initializing():
+            mean_b, var_b, m = pooled_stats(x, parity, spec)
+            mom = 1.0 - self.momentum  # torch momentum (0.1)
+            ra_mean.value = self.momentum * ra_mean.value + mom * mean_b
+            ra_var.value = (
+                self.momentum * ra_var.value + mom * var_b * (m / (m - 1))
+            )
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch defaults (eps=1e-5, momentum 0.1 ≡ flax 0.9).
+
+    ``packed=True`` accepts an s2d packed tensor (ops/s2d.py) and
+    normalizes over the fine grid it encodes; ``shifted=True`` marks the
+    packed-SHIFTED layout (pad slots excluded from stats, re-zeroed in
+    the output — the conv3_packed_p2s -> norm -> conv3_packed_s2p chain).
+    The packed module registers under the same auto-name ("BatchNorm_0")
+    with the same param/variable names as the fine path, so both
+    executions share one checkpoint tree.
+    """
+
+    use_running_average: bool = False
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+    packed: bool = False
+    packed_dims: Optional[Tuple[int, ...]] = None
+    shifted: bool = False
+    fuse_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.packed:
+            return _PackedBatchNorm(
+                use_running_average=self.use_running_average,
+                epsilon=self.epsilon,
+                momentum=self.momentum,
+                packed_dims=self.packed_dims,
+                shifted=self.shifted,
+                fuse_relu=self.fuse_relu,
+                name="BatchNorm_0",
+            )(x)
+        assert not self.shifted and not self.fuse_relu
         return nn.BatchNorm(
             use_running_average=self.use_running_average,
             epsilon=self.epsilon,

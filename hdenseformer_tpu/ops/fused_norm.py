@@ -98,7 +98,9 @@ def _bshape(x: Array):
 
 
 def _bc(v: Array, parity: int, x: Array) -> Array:
-    """(N, C) f32 vector -> broadcastable (N, 1,..,1, parity*C)."""
+    """(N, C) or batch-pooled (1, C) f32 vector -> broadcastable
+    (N, 1,..,1, parity*C)."""
+    v = jnp.broadcast_to(v, (x.shape[0], v.shape[-1]))
     return _tile(v, parity).reshape(_bshape(x))
 
 
@@ -152,24 +154,33 @@ def _group(v: Array, parity: int) -> Array:
     return jnp.sum(v.reshape(n, parity, fc // parity), axis=1)
 
 
-def _stats(x: Array, parity: int, shifted: bool = False):
+def _bpool(v: Array, batch_pooled: bool) -> Array:
+    """(N, C) per-sample vector -> (1, C) summed over the batch when the
+    statistics pool over it (BatchNorm semantics)."""
+    return jnp.sum(v, axis=0, keepdims=True) if batch_pooled else v
+
+
+def _stats(x: Array, parity: int, shifted: bool = False, batch_pooled: bool = False):
     """Centered biased moments per (sample, original channel).
 
     Returns the flat (N, C) mean/var, the broadcast mean, and the element
     count m. Two-pass: mean, then E[(x-mean)^2] — see module docstring for
     why not one-pass. With ``shifted`` the pad slots are excluded from
-    both passes (mask applied inside each pass's own chain).
+    both passes (mask applied inside each pass's own chain). With
+    ``batch_pooled`` the statistics additionally pool over the batch axis
+    (BatchNorm semantics, reference models/DAUNet.py:49-63) and the
+    returned vectors are (1, C).
     """
     axes = tuple(range(1, x.ndim - 1))
-    m = _count(x, parity, shifted)
+    m = _count(x, parity, shifted) * (x.shape[0] if batch_pooled else 1)
     # mean / variance reduce passes each read a private alias of x so
     # their astype(f32) converts stay in-pass (see _percopy)
-    m1 = _group(
+    m1 = _bpool(_group(
         jnp.sum(_mask(_percopy(x, 10).astype(jnp.float32), shifted), axis=axes),
         parity,
-    ) / m
+    ), batch_pooled) / m
     mean_bc = _bc(m1, parity, x)
-    v = _group(
+    v = _bpool(_group(
         jnp.sum(
             _mask(
                 jnp.square(_percopy(x, 11).astype(jnp.float32) - mean_bc),
@@ -178,11 +189,11 @@ def _stats(x: Array, parity: int, shifted: bool = False):
             axis=axes,
         ),
         parity,
-    ) / m
+    ), batch_pooled) / m
     return m1, v, mean_bc, m
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def instance_norm_relu(
     x: Array,
     scale: Optional[Array],
@@ -191,14 +202,20 @@ def instance_norm_relu(
     relu: bool = True,
     parity: int = 1,
     shifted=False,
+    batch_pooled: bool = False,
 ) -> Array:
     """With ``shifted`` (True = fully packed, or a tuple of packed dims
     for partial-rank layouts) the input is a packed-SHIFTED tensor
     (ops/s2d.py::conv3_packed_p2s output): pad slots are excluded from the
     statistics and zeroed in the output, so the result is directly
     consumable by ``conv3_packed_s2p`` (which treats them as the fine
-    conv's SAME zero padding)."""
-    y, _ = _fwd(x, scale, bias, epsilon, relu, parity, shifted)
+    conv's SAME zero padding).
+
+    With ``batch_pooled`` the statistics pool over the batch axis as well
+    — train-mode BatchNorm semantics (biased variance, same VJP math with
+    the pooled-set count); the caller owns running-stat bookkeeping
+    (models/layers.py::BatchNorm)."""
+    y, _ = _fwd(x, scale, bias, epsilon, relu, parity, shifted, batch_pooled)
     return y
 
 
@@ -212,16 +229,18 @@ def _normalize(x, mean_bc, inv_bc, scale, bias, relu, parity, shifted):
     return _mask(y, shifted)
 
 
-def _fwd(x, scale, bias, epsilon, relu, parity, shifted):
-    mean, var, mean_bc, _ = _stats(x, parity, shifted)
-    inv = jax.lax.rsqrt(var + epsilon)  # (N, C)
+def _fwd(x, scale, bias, epsilon, relu, parity, shifted, batch_pooled=False):
+    mean, var, mean_bc, _ = _stats(x, parity, shifted, batch_pooled)
+    inv = jax.lax.rsqrt(var + epsilon)  # (N, C) or (1, C) batch-pooled
     inv_bc = _bc(inv, parity, x)
     y = _normalize(x, mean_bc, inv_bc, scale, bias, relu, parity, shifted)
     return y.astype(x.dtype), (x, mean, inv)
 
 
-def _fwd_rule(x, scale, bias, epsilon, relu, parity, shifted):
-    y, (x_res, mean, inv) = _fwd(x, scale, bias, epsilon, relu, parity, shifted)
+def _fwd_rule(x, scale, bias, epsilon, relu, parity, shifted, batch_pooled=False):
+    y, (x_res, mean, inv) = _fwd(
+        x, scale, bias, epsilon, relu, parity, shifted, batch_pooled
+    )
     return y, (x_res, mean, inv, scale, bias)
 
 
@@ -245,9 +264,9 @@ def _relu_mask(x, mean, inv, scale, bias, parity):
     )
 
 
-def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
+def _bwd_rule(epsilon, relu, parity, shifted, batch_pooled, res, dy):
     x, mean, inv, scale, bias = res
-    m = _count(x, parity, shifted)
+    m = _count(x, parity, shifted) * (x.shape[0] if batch_pooled else 1)
     axes = tuple(range(1, x.ndim - 1))
 
     # dy_eff in the INPUT dtype: 0/1 mask selects are exact in bf16, so
@@ -283,19 +302,19 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
     mean_bc = _bc(mean, parity, x)
     # dual product-reduce over (x, dy_eff): t2 centered (single consumer
     # of the (x32 - mean) chain); s2 = inv * t2 pulls inv out of the pass
-    t1 = _group(jnp.sum(dy32, axis=axes), parity)  # (N, C)
+    t1 = _bpool(_group(jnp.sum(dy32, axis=axes), parity), batch_pooled)
     from hdenseformer_tpu.utils.flags import norm_t2_mode
 
     if norm_t2_mode() == "uncentered":
         # experimental: t2 = sum(dy*x) - mean*t1 — no centered chain in
         # the reduce pass at all, error linear in |mean|/std
-        t2 = _group(
+        t2 = _bpool(_group(
             jnp.sum(dy32 * xR.astype(jnp.float32), axis=axes), parity
-        ) - mean * t1
+        ), batch_pooled) - mean * t1
     else:
-        t2 = _group(
+        t2 = _bpool(_group(
             jnp.sum(dy32 * (xR.astype(jnp.float32) - mean_bc), axis=axes), parity
-        )
+        ), batch_pooled)
     s1, s2 = t1, inv * t2
 
     gamma = (
@@ -324,3 +343,35 @@ def _bwd_rule(epsilon, relu, parity, shifted, res, dy):
 
 
 instance_norm_relu.defvjp(_fwd_rule, _bwd_rule)
+
+
+def pooled_stats(x: Array, parity: int = 1, shifted=False):
+    """Biased (mean, var) per original channel pooled over (batch,
+    spatial[, parity][, minus pad slots]) plus the pooled-set element
+    count — BatchNorm running-stat bookkeeping (torch stores the
+    UNBIASED variance in running_var; the caller applies m/(m-1)).
+
+    Stop-gradiented and barrier-free: a plain two-pass reduce the caller
+    runs once per train step next to the fused normalize (one extra
+    fused read of the bf16 activations).
+    """
+    x = jax.lax.stop_gradient(x)
+    axes = tuple(range(1, x.ndim - 1))
+    m = _count(x, parity, shifted) * x.shape[0]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.sum(
+        _bpool(_group(jnp.sum(_mask(x32, shifted), axis=axes), parity), True),
+        axis=0,
+    ) / m  # (C,)
+    mean_bc = _bc(mean[None], parity, x)
+    var = jnp.sum(
+        _bpool(
+            _group(
+                jnp.sum(_mask(jnp.square(x32 - mean_bc), shifted), axis=axes),
+                parity,
+            ),
+            True,
+        ),
+        axis=0,
+    ) / m
+    return mean, var, m
