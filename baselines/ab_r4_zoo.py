@@ -102,6 +102,42 @@ def run_pool_ab(net):
     return res
 
 
+def run_s2d_ab():
+    """Level-0 s2d packing A/B for da_unet (VERDICT r3 item 4: apply the
+    flagship's proven lever to the zoo stragglers). bf16 packed-vs-fine
+    first losses agree to rounding, not bitwise (tests prove f32 exact)."""
+    res = {}
+    for s2d in (False, True):
+        dt, loss0 = measure(build("da_unet", s2d=s2d))
+        key = "s2d_on" if s2d else "s2d_off"
+        res[key] = {"ms_per_step": round(dt * 1e3, 1), "first_loss": loss0}
+        print("da_unet", key, res[key], flush=True)
+    res["speedup_s2d"] = round(
+        res["s2d_off"]["ms_per_step"] / res["s2d_on"]["ms_per_step"], 4
+    )
+    assert abs(res["s2d_off"]["first_loss"] - res["s2d_on"]["first_loss"]) \
+        < 2e-2 * max(1.0, abs(res["s2d_off"]["first_loss"]))
+    return res
+
+
+def run_hecktor_s2d_ab():
+    """Level-1 s2d packing A/B for Hecktor20Top1 (VERDICT r3 item 4):
+    packs the full-resolution 32-channel level (stem k7 stays fine),
+    remat=True both arms (the 144^3 production config, PARITY.md r3)."""
+    res = {}
+    for s2d in (False, True):
+        dt, loss0 = measure(build("hecktor20top1", remat=True, s2d=s2d))
+        key = "s2d_on" if s2d else "s2d_off"
+        res[key] = {"ms_per_step": round(dt * 1e3, 1), "first_loss": loss0}
+        print("hecktor20top1", key, res[key], flush=True)
+    res["speedup_s2d"] = round(
+        res["s2d_off"]["ms_per_step"] / res["s2d_on"]["ms_per_step"], 4
+    )
+    assert abs(res["s2d_off"]["first_loss"] - res["s2d_on"]["first_loss"]) \
+        < 2e-2 * max(1.0, abs(res["s2d_off"]["first_loss"]))
+    return res
+
+
 def main():
     variants = sys.argv[1:] or ["da_unet", "hecktor20top1"]
     out = {}
@@ -110,6 +146,10 @@ def main():
             dt, loss0 = measure(build("hecktor20top1", remat=False))
             out[v] = {"ms_per_step": round(dt * 1e3, 1), "first_loss": loss0}
             print(v, out[v], flush=True)
+        elif v == "da_unet_s2d":
+            out[v] = run_s2d_ab()
+        elif v == "hecktor_s2d":
+            out[v] = run_hecktor_s2d_ab()
         else:
             out[v] = run_pool_ab(v)
     print(json.dumps(out))

@@ -43,7 +43,7 @@ def get_net(
 
         return hecktertop1(
             in_channels=channels, n_cls=num_classes, dtype=dtype,
-            remat=bool(remat),
+            remat=bool(remat), s2d=s2d,
         )
     if net_name == "TransBTS":
         from hdenseformer_tpu.models.transbts import TransBTS

