@@ -91,11 +91,14 @@ class ExperimentConfig:
     use_pallas: Optional[bool] = None  # None=auto: Pallas kernels on TPU
     remat: bool = True  # rematerialize model blocks (needed for 144^3 batch>=2/chip)
     s2d: Optional[bool] = None  # None=auto: space-to-depth packed narrow-channel levels
-    # fused-norm anti-CSE barriers: "auto" (TPU only) | "on" | "off"
-    # (utils/flags.py; resolved once before the first trace)
-    norm_barrier: str = "auto"
-    # half-shift gather impl: "xla" (default, A/B-fastest end-to-end) | "pallas"
-    shift_pack: str = "xla"
+    # fused-norm anti-CSE barriers: "auto" (TPU only) | "on" | "off".
+    # None (default) keeps the import-time env-resolved value
+    # (HDF_NORM_BARRIER, utils/flags.py) so env overrides survive the
+    # trainer/CLI entry points; a string forces it before the first trace.
+    norm_barrier: Optional[str] = None
+    # half-shift gather impl: "xla" (A/B-fastest end-to-end) | "pallas".
+    # None (default) keeps the env-resolved value (HDF_SHIFT_PACK).
+    shift_pack: Optional[str] = None
     seed: int = 0
 
     # augmentation selections (same indexing as trainer.py:128-176)

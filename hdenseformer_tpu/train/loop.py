@@ -284,12 +284,16 @@ class SemanticSeg:
         device_augment=False,
         remat=True,
         s2d=None,
-        norm_barrier="auto",
-        shift_pack="xla",
+        norm_barrier=None,
+        shift_pack=None,
     ):
-        # performance knobs resolved once, before any trace (utils/flags.py)
-        set_norm_barrier(norm_barrier)
-        set_shift_pack(shift_pack)
+        # performance knobs resolved once, before any trace (utils/flags.py).
+        # None = keep the import-time env-resolved value (HDF_NORM_BARRIER /
+        # HDF_SHIFT_PACK), so env overrides are honored on trainer entry.
+        if norm_barrier is not None:
+            set_norm_barrier(norm_barrier)
+        if shift_pack is not None:
+            set_shift_pack(shift_pack)
         self.net_name = net_name
         self.encoder_name = encoder_name
         self.lr = lr

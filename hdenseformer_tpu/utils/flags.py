@@ -7,7 +7,9 @@ including across the persistent compilation cache. Here every knob is
 resolved exactly once at import time and is changeable only through the
 explicit setters below (which callers must invoke BEFORE tracing; the
 docstrings say so). Config plumbing: ``configs.Config.norm_barrier`` /
-``Config.shift_pack`` apply these setters in ``SemanticSeg.__init__``.
+``Config.shift_pack`` apply these setters in ``SemanticSeg.__init__``
+only when set to a string; their ``None`` default keeps the env-resolved
+value, so ``HDF_*`` env vars remain effective on every entry point.
 
 Knobs
 -----
