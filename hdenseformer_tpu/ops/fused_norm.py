@@ -99,8 +99,12 @@ def _bshape(x: Array):
 
 def _bc(v: Array, parity: int, x: Array) -> Array:
     """(N, C) or batch-pooled (1, C) f32 vector -> broadcastable
-    (N, 1,..,1, parity*C)."""
-    v = jnp.broadcast_to(v, (x.shape[0], v.shape[-1]))
+    (N, 1,..,1, parity*C). The materializing broadcast_to runs ONLY for
+    the batch-pooled (1, C) case: on the (N, C) InstanceNorm path it was
+    pure graph noise added in round 4 (a prime suspect while bisecting
+    the BENCH_r04 regression — keep this path bit-identical to round 3)."""
+    if v.shape[0] != x.shape[0]:
+        v = jnp.broadcast_to(v, (x.shape[0], v.shape[-1]))
     return _tile(v, parity).reshape(_bshape(x))
 
 
