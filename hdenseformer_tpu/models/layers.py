@@ -104,23 +104,25 @@ class Conv(nn.Module):
             from hdenseformer_tpu.ops.s2d import (
                 _pdims,
                 conv1_packed,
-                conv3_packed,
-                conv3_packed_p2s,
                 conv3_packed_s2p,
+                conv_s2_packed,
+                convk_packed,
+                convk_packed_p2s,
             )
 
             pdims = _pdims(nsp, self.packed_dims)
             f = 2 ** len(pdims)
             in_ch = x.shape[-1] // f
-            assert self.feature_group_count == 1 and s == (1,) * nsp
-            assert all(ki in (1, 3) for ki in k) and len(set(k)) == 1
-            # packed conv3 implements SAME padding-1 (conv1 padding-0) by
-            # construction; anything else would be silently miscomputed
-            assert p == ((1,) * nsp if k[0] == 3 else (0,) * nsp), (
-                f"packed conv{k[0]} requires padding={'1' if k[0] == 3 else '0'}, got {p}"
+            assert self.feature_group_count == 1 and s in ((1,) * nsp, (2,) * nsp)
+            assert all(ki % 2 == 1 for ki in k) and len(set(k)) == 1
+            # packed convs implement SAME padding ((k-1)/2; conv1 padding-0)
+            # by construction; anything else would be silently miscomputed
+            assert p == (k[0] // 2,) * nsp, (
+                f"packed conv{k[0]} requires padding={k[0] // 2}, got {p}"
             )
             assert self.packed_shift in (None, "out", "in")
-            assert self.packed_shift is None or k[0] == 3
+            assert self.packed_shift is None or (k[0] >= 3 and s == (1,) * nsp)
+            assert self.packed_shift != "in" or k[0] == 3
             fan_in = in_ch * int(np.prod(k))
             kernel = self.param(
                 "kernel", kaiming_uniform_torch, k + (in_ch, self.features),
@@ -135,11 +137,16 @@ class Conv(nn.Module):
                 else None
             )
             dtype = self.dtype or x.dtype
+            if s == (2,) * nsp:
+                # stride-2 downsample consumed from packed-plain, emitting
+                # the UNPACKED coarse grid (TransBTS EnDown)
+                assert self.packed_shift is None
+                return conv_s2_packed(x, kernel, bias=bias, dtype=dtype, dims=pdims)
             if k[0] == 1:
                 return conv1_packed(x, kernel, bias=bias, dims=pdims)
             conv = {
-                None: conv3_packed,
-                "out": conv3_packed_p2s,
+                None: convk_packed,  # odd k >= 3 (k3 fast path inside)
+                "out": convk_packed_p2s,
                 "in": conv3_packed_s2p,
             }[self.packed_shift]
             y = conv(x, kernel, dtype=dtype, dims=pdims)
@@ -250,10 +257,11 @@ class ConvTranspose(nn.Module):
         )
         dtype = self.dtype or x.dtype
         if self.packed_out:
-            from hdenseformer_tpu.ops.s2d import conv_transpose_packed
+            from hdenseformer_tpu.ops.s2d import (
+                conv_transpose2_packed,
+                conv_transpose_packed,
+            )
 
-            assert k == (3,) * nsp and s == (2,) * nsp
-            assert p == (1,) * nsp and op == (1,) * nsp
             bias = (
                 self.param(
                     "bias", uniform_bound_init(bound), (self.features,), jnp.float32
@@ -261,6 +269,14 @@ class ConvTranspose(nn.Module):
                 if self.use_bias
                 else None
             )
+            if k == (2,) * nsp:
+                # k2 s2: one tap per fine output == a single matmul
+                assert s == (2,) * nsp and p == (0,) * nsp and op == (0,) * nsp
+                return conv_transpose2_packed(
+                    x, kernel, bias=bias, dtype=dtype, dims=self.packed_dims
+                )
+            assert k == (3,) * nsp and s == (2,) * nsp
+            assert p == (1,) * nsp and op == (1,) * nsp
             return conv_transpose_packed(
                 x, kernel, bias=bias, dtype=dtype, dims=self.packed_dims
             )
@@ -456,6 +472,55 @@ class _PackedBatchNorm(nn.Module):
         return y
 
 
+class _TorchBatchNorm(nn.Module):
+    """Fine-grid BatchNorm with torch running-stat bookkeeping
+    (momentum 0.1, UNBIASED running variance — torch BatchNorm3d
+    semantics, reference models/DAUNet.py:49-56), matching
+    ``_PackedBatchNorm`` so the packed and fine executions of one model
+    write identical ``batch_stats`` from identical batches (ADVICE r4).
+    Same param/variable names and shapes as ``flax.linen.BatchNorm``;
+    normalization itself uses the biased batch variance, as torch does.
+    Computes and returns float32, like the previous flax path.
+    """
+
+    use_running_average: bool = False
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ch = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((ch,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((ch,), jnp.float32)
+        )
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                m = 1.0
+                for a in axes:
+                    m *= x.shape[a]
+                # torch refuses m == 1 ("Expected more than 1 value per
+                # channel"); we store the biased var (0) instead of inf
+                unbias = m / (m - 1.0) if m > 1 else 1.0
+                mom = 1.0 - self.momentum  # torch momentum (0.1)
+                ra_mean.value = self.momentum * ra_mean.value + mom * mean
+                ra_var.value = (
+                    self.momentum * ra_var.value + mom * var * unbias
+                )
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x32 - mean) * (inv * scale) + bias
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch defaults (eps=1e-5, momentum 0.1 ≡ flax 0.9).
 
@@ -489,11 +554,11 @@ class BatchNorm(nn.Module):
                 name="BatchNorm_0",
             )(x)
         assert not self.shifted and not self.fuse_relu
-        return nn.BatchNorm(
+        return _TorchBatchNorm(
             use_running_average=self.use_running_average,
             epsilon=self.epsilon,
             momentum=self.momentum,
-            dtype=jnp.float32,
+            name="BatchNorm_0",
         )(x)
 
 

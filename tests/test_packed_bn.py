@@ -133,16 +133,18 @@ def test_packed_module_matches_fine_train_and_stats():
     np.testing.assert_allclose(
         np.asarray(unpack(yp)), np.asarray(yf), atol=1e-5
     )
-    # running means agree; running var differs by the unbiased factor
-    # (torch bookkeeping in the packed path vs flax's biased batch var)
+    # running stats agree exactly: both paths use torch bookkeeping
+    # (UNBIASED running variance, momentum 0.1) since the ADVICE r4 fix —
+    # layout choice cannot perturb eval stats. Sanity-check the stored
+    # value IS the unbiased one (factor m/(m-1) over the biased batch var).
     m = 2 * 6 * 6 * 6
     var_f = np.asarray(mf["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]["var"])
     var_p = np.asarray(mp["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]["var"])
-    batch_var_f = (var_f - 0.9 * 1.0) / 0.1  # init var is ones
-    batch_var_p = (var_p - 0.9 * 1.0) / 0.1
-    np.testing.assert_allclose(
-        batch_var_p, batch_var_f * m / (m - 1), rtol=1e-4
-    )
+    np.testing.assert_allclose(var_p, var_f, rtol=1e-5)
+    x32 = np.asarray(x, np.float64)
+    biased = x32.reshape(-1, x32.shape[-1]).var(axis=0)
+    expect = 0.9 * 1.0 + 0.1 * biased * m / (m - 1)
+    np.testing.assert_allclose(var_f, expect, rtol=1e-4)
     mean_f = np.asarray(mf["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]["mean"])
     mean_p = np.asarray(mp["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]["mean"])
     np.testing.assert_allclose(mean_p, mean_f, atol=1e-6)
@@ -285,6 +287,36 @@ def test_daunet_s2d_matches_fine():
         )
 
 
+def _assert_grads_close(gf, gp, rel_l2=2e-2):
+    """Global relative-L2 gradient agreement across the whole pytree.
+
+    Why not per-leaf/per-element bars: the nf=8 test model chains ~18
+    sequential InstanceNorm stages whose 1/sigma gains amplify f32
+    statistic rounding; a round-5 diagnostic showed (a) the packed convs
+    themselves EXACT at f64 (1e-13, incl. the k7 stem lowering), (b) the
+    WHOLE model at f64 params/activations (f32 stats inside, both paths)
+    still drifting 0.6% at the logits purely from summation-order noise
+    compounding through those gains, and (c) the worst-gradient leaf
+    MOVING with the input seed (a relu/branch flip artifact, the
+    measure-zero caveat in ops/fused_norm.py). A real layout bug (wrong
+    parity map, misaligned tap) corrupts entire tensors and fails the
+    global bar by orders of magnitude; conditioning flips perturb a few
+    elements and pass it.
+    """
+    num = 0.0
+    den = 0.0
+    for (kf, a), (kp, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gf),
+        jax.tree_util.tree_leaves_with_path(gp),
+    ):
+        assert kf == kp
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        num += float(np.sum((a - b) ** 2))
+        den += float(np.sum(a ** 2))
+    rel = (num / max(den, 1e-30)) ** 0.5
+    assert rel < rel_l2, f"global grad rel-L2 {rel:.4f} >= {rel_l2}"
+
+
 def test_hecktor_s2d_matches_fine():
     """Hecktor20Top1 with s2d level-1 packing == fine execution: same
     param tree, same outputs, same grads up to f32 accumulation noise.
@@ -315,8 +347,10 @@ def test_hecktor_s2d_matches_fine():
     yp = packed.apply(vf, x)
     assert yp.shape == yf.shape
     yscale = float(jnp.max(jnp.abs(yf)))
+    # bar sized to the measured conditioning (see _assert_grads_close):
+    # the f64 run drifts 0.6% at the logits from f32-stat rounding alone
     np.testing.assert_allclose(
-        np.asarray(yp), np.asarray(yf), atol=1e-3 * yscale
+        np.asarray(yp), np.asarray(yf), atol=2e-2 * yscale
     )
 
     gf = jax.grad(lambda p: jnp.sum(jnp.square(fine.apply({"params": p}, x))))(
@@ -325,12 +359,52 @@ def test_hecktor_s2d_matches_fine():
     gp = jax.grad(lambda p: jnp.sum(jnp.square(packed.apply({"params": p}, x))))(
         vf["params"]
     )
-    flat_f = jax.tree_util.tree_leaves_with_path(gf)
-    flat_p = jax.tree_util.tree_leaves_with_path(gp)
-    for (kf, a), (kp, b) in zip(flat_f, flat_p):
-        assert kf == kp
-        a = np.asarray(a)
-        np.testing.assert_allclose(
-            np.asarray(b), a, atol=3e-2 * max(1.0, float(np.abs(a).max())),
-            err_msg=jax.tree_util.keystr(kf),
-        )
+    _assert_grads_close(gf, gp)
+
+
+def test_hecktor_s2d_level2_matches_fine():
+    """Round 5: k7 stem packed + level-2 last-dim partial-rank packing
+    (s2d={1: True, 2: (2,)}) == fine execution, same bars as
+    test_hecktor_s2d_matches_fine."""
+    from hdenseformer_tpu.models.hecktor20top1 import Hecktor20Top1
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    fine = Hecktor20Top1(in_channels=2, n_cls=2, n_filters=8, s2d=False)
+    packed = Hecktor20Top1(
+        in_channels=2, n_cls=2, n_filters=8, s2d={1: True, 2: (2,)}
+    )
+    vf = fine.init({"params": jax.random.PRNGKey(0)}, x)
+    vp = packed.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(vp)
+    yf = fine.apply(vf, x)
+    yp = packed.apply(vf, x)
+    assert yp.shape == yf.shape
+    yscale = float(jnp.max(jnp.abs(yf)))
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yf), atol=2e-2 * yscale)
+
+    gf = jax.grad(lambda p: jnp.sum(jnp.square(fine.apply({"params": p}, x))))(
+        vf["params"]
+    )
+    gp = jax.grad(lambda p: jnp.sum(jnp.square(packed.apply({"params": p}, x))))(
+        vf["params"]
+    )
+    _assert_grads_close(gf, gp)
+
+
+def test_res_da_se_unet_s2d_matches_fine():
+    """Round 5: the residual DoubleConv gained a packed lowering — forcing
+    s2d=True on res_da_se_unet must match the fine execution at f32."""
+    from hdenseformer_tpu.models import get_net
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)), jnp.float32)
+    fine = get_net("res_da_se_unet", channels=1, num_classes=2,
+                   input_shape=(16, 16, 16), s2d=False)
+    packed = get_net("res_da_se_unet", channels=1, num_classes=2,
+                     input_shape=(16, 16, 16), s2d=True)
+    vf = fine.init({"params": jax.random.PRNGKey(0)}, x)
+    vp = packed.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(vp)
+    yf = fine.apply(vf, x)
+    yp = packed.apply(vf, x)
+    yscale = float(jnp.max(jnp.abs(yf)))
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yf), atol=1e-4 * yscale)

@@ -379,3 +379,145 @@ def test_partial_shifted_instance_norm_matches_fine(dims):
     gf = jax.grad(lambda w: jnp.sum(fine(w) ** 2))(w1)
     gp = jax.grad(lambda w: jnp.sum(packed(w) ** 2))(w1)
     np.testing.assert_allclose(gp, gf, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# round-5 ops: generalized odd-k expansion, strided conv, k2 transpose, GN
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", [5, 7])
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_convk_p2s_matches_shifted_fine(k, nsp):
+    """Odd-k (5/7) plain->shifted conv == plain_to_shifted(fine SAME conv)
+    — the packed lowering for k7 stems (VERDICT r4 item 5)."""
+    from hdenseformer_tpu.ops.s2d import apply_shifted_mask, convk_packed_p2s
+
+    rng = np.random.RandomState(11)
+    C, Co, D = 3, 4, 12
+    x = jnp.asarray(rng.randn(2, *(D,) * nsp, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(*(k,) * nsp, C, Co).astype(np.float32) * 0.1)
+    half = (k - 1) // 2
+    ref = plain_to_shifted(
+        pack(
+            jax.lax.conv_general_dilated(
+                x, w, (1,) * nsp, [(half, half)] * nsp, dimension_numbers=_dn(nsp)
+            )
+        )
+    )
+    got = apply_shifted_mask(convk_packed_p2s(pack(x), w))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_conv_s2_packed_matches_fine(k, nsp):
+    """Stride-2 SAME k conv consumed from packed-plain == fine s2 conv
+    (the TransBTS EnDown lowering)."""
+    from hdenseformer_tpu.ops.s2d import conv_s2_packed
+
+    rng = np.random.RandomState(12)
+    C, Co, D = 3, 4, 12
+    x = jnp.asarray(rng.randn(2, *(D,) * nsp, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(*(k,) * nsp, C, Co).astype(np.float32) * 0.1)
+    half = (k - 1) // 2
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2,) * nsp, [(half, half)] * nsp, dimension_numbers=_dn(nsp)
+    )
+    got = conv_s2_packed(pack(x), w)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_s2_packed_partial_rank():
+    from hdenseformer_tpu.ops.s2d import conv_s2_packed
+
+    rng = np.random.RandomState(13)
+    nsp, C, Co, D = 3, 3, 4, 12
+    dims = (1, 2)
+    x = jnp.asarray(rng.randn(2, *(D,) * nsp, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(*(3,) * nsp, C, Co).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2,) * nsp, [(1, 1)] * nsp, dimension_numbers=_dn(nsp)
+    )
+    got = conv_s2_packed(pack(x, dims), w, dims=dims)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose2_packed_matches_torch_equiv():
+    """k2 s2 ConvTranspose with packed output == the fine module + pack."""
+    from hdenseformer_tpu.models.layers import ConvTranspose
+
+    rng = np.random.RandomState(14)
+    x = jnp.asarray(rng.randn(2, 6, 6, 6, 5).astype(np.float32))
+    fine = ConvTranspose(4, 2, 2)
+    v = fine.init(jax.random.PRNGKey(0), x)
+    ref = pack(fine.apply(v, x))
+    packed = ConvTranspose(4, 2, 2, packed_out=True)
+    got = packed.apply(v, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_group_norm_relu_packed_matches_fine(shifted):
+    """Packed GroupNorm(+affine+ReLU) == torch-style fine GroupNorm."""
+    from flax import linen as nn
+
+    from hdenseformer_tpu.ops.s2d import group_norm_relu_packed
+
+    rng = np.random.RandomState(15)
+    C, G, D = 8, 4, 8
+    x = jnp.asarray(rng.randn(2, D, D, D, C).astype(np.float32))
+    scale = jnp.asarray(rng.randn(C).astype(np.float32))
+    bias = jnp.asarray(rng.randn(C).astype(np.float32))
+    gn = nn.GroupNorm(num_groups=G, epsilon=1e-5, use_bias=True, use_scale=True)
+    v = {"params": {"scale": scale, "bias": bias}}
+    ref = jnp.maximum(gn.apply(v, x), 0.0)
+    if shifted:
+        xs = plain_to_shifted(pack(x))
+        got_s = group_norm_relu_packed(
+            xs, scale, bias, num_groups=G, shifted=True
+        )
+        # compare interior (drop the shifted pad slots): shifted cell j
+        # block p = fine 2j - p; reconstruct fine via the transpose map
+        from hdenseformer_tpu.ops.s2d import apply_shifted_mask
+
+        ref_s = plain_to_shifted(pack(ref))
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(apply_shifted_mask(ref_s)),
+            rtol=2e-4, atol=2e-4,
+        )
+    else:
+        got = unpack(group_norm_relu_packed(pack(x), scale, bias, num_groups=G))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_transbts_s2d_matches_fine():
+    """TransBTS packed execution (s2d levels 0-1) == fine at f32: same
+    param tree, same outputs, same batch_stats updates (VERDICT r4 item
+    4 — the zoo lever applied to TransBTS)."""
+    from hdenseformer_tpu.models import get_net
+
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(1, 16, 16, 16, 2).astype(np.float32))
+    fine = get_net("TransBTS", channels=2, num_classes=2,
+                   input_shape=(16, 16, 16), s2d=False)
+    packed = get_net("TransBTS", channels=2, num_classes=2,
+                     input_shape=(16, 16, 16), s2d=True)
+    v = fine.init({"params": jax.random.PRNGKey(0)}, x)
+    vp = packed.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    ref = fine.apply(v, x)
+    got = packed.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4)
+    # train mode: batch_stats bookkeeping must match across layouts
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+    ref_t, mf = fine.apply(v, x, train=True, rngs=rngs, mutable=["batch_stats"])
+    got_t, mp = packed.apply(v, x, train=True, rngs=rngs, mutable=["batch_stats"])
+    flat_f = jax.tree_util.tree_leaves_with_path(mf["batch_stats"])
+    flat_p = {jax.tree_util.keystr(k): v2 for k, v2 in
+              jax.tree_util.tree_leaves_with_path(mp["batch_stats"])}
+    for k, v2 in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[jax.tree_util.keystr(k)]), np.asarray(v2),
+            rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k),
+        )
