@@ -204,7 +204,17 @@ class DoubleConv(nn.Module):
                 h = SELayer(
                     dtype=self.dtype, packed=True, packed_dims=pd, name="se"
                 )(h)
-            assert not self.residual, "packed residual DoubleConv unsupported"
+            if self.residual:
+                from hdenseformer_tpu.ops.s2d import _pdims
+
+                f = 2 ** len(_pdims(x.ndim - 2, pd))
+                res = x
+                if x.shape[-1] != f * self.out_channels:
+                    res = Conv(
+                        self.out_channels, 1, dtype=self.dtype, packed=True,
+                        packed_dims=pd, name="downsample",
+                    )(x)
+                h = h + res
             return nn.relu(h)
         h = Conv(mid, 3, 1, 1, dtype=self.dtype, name="conv1")(x)
         h = BatchNorm(use_running_average=not self.train, name="bn1")(h)

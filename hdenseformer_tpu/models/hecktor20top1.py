@@ -160,6 +160,9 @@ class VisionUp(nn.Module):
     ``packed_out=True`` (scale 2 only) emits the upsampled output
     directly in packed-plain layout (ops/s2d.py::upsample2x_packed);
     larger scales upsample on the fine grid and the caller packs.
+    ``packed_in`` (a dims tuple) accepts a packed input: the 1x1 SENorm
+    conv runs packed, then unpacks (a FREE contiguous reshape when the
+    dims are last-dim-only) before the fine-grid upsample.
     """
 
     out_channels: int
@@ -167,12 +170,19 @@ class VisionUp(nn.Module):
     reduction: int = 2
     dtype: Optional[jnp.dtype] = None
     packed_out: bool = False
+    packed_in: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = FastSmoothSeNormConv(
-            self.out_channels, self.reduction, 1, 1, 0, self.dtype, name="conv"
+            self.out_channels, self.reduction, 1, 1, 0, self.dtype,
+            packed=self.packed_in is not None, packed_dims=self.packed_in,
+            name="conv",
         )(x)
+        if self.packed_in is not None:
+            from hdenseformer_tpu.ops.s2d import unpack
+
+            x = unpack(x, self.packed_in)
         if self.packed_out:
             from hdenseformer_tpu.ops.s2d import pack, upsample2x_packed
 
@@ -187,10 +197,11 @@ class Hecktor20Top1(nn.Module):
 
     ``s2d`` packs level 1 (the full-resolution n_filters-channel level —
     sub-MXU-lane on TPU) into the space-to-depth layout (ops/s2d.py):
-    the k7 stem conv runs fine (7-tap kernels have no packed lowering),
-    everything else at full resolution — block_1_2_left, upconv_1, the
-    right blocks, the vision-head merge, and the 1x1 head — runs packed.
-    None = auto (pack when 3D, even dims, n_filters <= 32).
+    EVERYTHING at full resolution runs packed — the k7 stem (round 5:
+    VALID k4 coarse on the shifted packing, ops/s2d.py::convk_packed),
+    block_1_2_left, upconv_1, the right blocks, the vision-head merge,
+    and the 1x1 head. None = auto (pack when 3D, even dims,
+    n_filters <= 32).
     """
 
     in_channels: int
@@ -212,7 +223,18 @@ class Hecktor20Top1(nn.Module):
         Sen = (
             nn.remat(FastSmoothSeNormConv) if self.remat else FastSmoothSeNormConv
         )
-        if self.s2d is None:
+        # level-1 (full-res) packing: bool; level-2 (2nf): a dims tuple
+        # (partial-rank, e.g. (2,) = last-dim 64->128 lanes at 4/3x
+        # redundancy) — selectable via a dict s2d={1: True, 2: (2,)}
+        pk2 = None
+        if isinstance(self.s2d, dict):
+            pk = bool(self.s2d.get(1, False))
+            spec2 = self.s2d.get(2, None)
+            if spec2:
+                pk2 = (
+                    tuple(range(x.ndim - 2)) if spec2 is True else tuple(spec2)
+                )
+        elif self.s2d is None:
             pk = (
                 nf <= 32
                 and x.ndim == 5
@@ -220,12 +242,19 @@ class Hecktor20Top1(nn.Module):
             )
         else:
             pk = bool(self.s2d)
+        if pk2 is not None and not (
+            pk
+            and all((x.shape[1 + d] // 2) % 2 == 0 for d in pk2)
+        ):
+            pk2 = None  # level-2 grid must be even on the packed dims
 
-        def res(out, name, k=3, p=1, packed=False):
-            return Res(out, r, k, 1, p, dt, packed=packed, name=name)
+        def res(out, name, k=3, p=1, packed=False, dims=None):
+            return Res(out, r, k, 1, p, dt, packed=packed, packed_dims=dims,
+                       name=name)
 
-        def sen(out, name, packed=False):
-            return Sen(out, r, 3, 1, 1, dt, packed=packed, name=name)
+        def sen(out, name, packed=False, dims=None):
+            return Sen(out, r, 3, 1, 1, dt, packed=packed, packed_dims=dims,
+                       name=name)
 
         if pk:
             from hdenseformer_tpu.ops.s2d import (
@@ -235,17 +264,29 @@ class Hecktor20Top1(nn.Module):
                 unpack,
             )
 
-            ds0 = res(nf, "block_1_1_left", k=7, p=3)(x)
-            ds0p = res(nf, "block_1_2_left", packed=True)(pack(ds0))
+            # the k7 stem runs packed too (round 5): k7 == VALID k4 coarse
+            # on the shifted packing (ops/s2d.py::convk_packed, 1.49x tap
+            # redundancy vs k3's 2.37x) — the fine k7 at in_channels=2 was
+            # MXU-starved AND cost a full-res pack relayout after it
+            ds0p = res(nf, "block_1_1_left", k=7, p=3, packed=True)(pack(x))
+            ds0p = res(nf, "block_1_2_left", packed=True)(ds0p)
             h = max_pool_packed(ds0p)
         else:
             ds0 = res(nf, "block_1_1_left", k=7, p=3)(x)
             ds0 = res(nf, "block_1_2_left")(ds0)
             h = max_pool(ds0)
-        for i in range(1, 4):
-            h = res(2 * nf, f"block_2_{i}_left")(h)
-        ds1 = h
-        h = max_pool(ds1)
+        if pk2 is not None:
+            # last-dim pack/unpack are contiguous reshapes (free)
+            h = pack(h, pk2)
+            for i in range(1, 4):
+                h = res(2 * nf, f"block_2_{i}_left", packed=True, dims=pk2)(h)
+            ds1 = h
+            h = max_pool_packed(ds1, pk2)
+        else:
+            for i in range(1, 4):
+                h = res(2 * nf, f"block_2_{i}_left")(h)
+            ds1 = h
+            h = max_pool(ds1)
         for i in range(1, 4):
             h = res(4 * nf, f"block_3_{i}_left")(h)
         ds2 = h
@@ -271,12 +312,26 @@ class Hecktor20Top1(nn.Module):
         h = sen(4 * nf, "block_3_2_right")(h)
         sv3 = VisionUp(nf, 4, r, dt, packed_out=pk, name="vision_3")(h)
 
-        h = jnp.concatenate(
-            [ConvTranspose(2 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_2")(h), ds1], -1
-        )
-        h = sen(2 * nf, "block_2_1_right")(h)
-        h = sen(2 * nf, "block_2_2_right")(h)
-        sv2 = VisionUp(nf, 2, r, dt, packed_out=pk, name="vision_2")(h)
+        if pk2 is not None:
+            up2 = ConvTranspose(
+                2 * nf, 3, 2, 1, 1, dtype=dt, packed_out=True,
+                packed_dims=pk2, name="upconv_2",
+            )(h)
+            h = concat_packed([up2, ds1], pk2)
+            h = sen(2 * nf, "block_2_1_right", packed=True, dims=pk2)(h)
+            h = sen(2 * nf, "block_2_2_right", packed=True, dims=pk2)(h)
+            sv2 = VisionUp(nf, 2, r, dt, packed_out=pk, packed_in=pk2,
+                           name="vision_2")(h)
+            from hdenseformer_tpu.ops.s2d import unpack as _unpack
+
+            h = _unpack(h, pk2)  # free reshape; upconv_1 reads fine grid
+        else:
+            h = jnp.concatenate(
+                [ConvTranspose(2 * nf, 3, 2, 1, 1, dtype=dt, name="upconv_2")(h), ds1], -1
+            )
+            h = sen(2 * nf, "block_2_1_right")(h)
+            h = sen(2 * nf, "block_2_2_right")(h)
+            sv2 = VisionUp(nf, 2, r, dt, packed_out=pk, name="vision_2")(h)
 
         if pk:
             up1 = ConvTranspose(

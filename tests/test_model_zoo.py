@@ -76,3 +76,25 @@ def test_train_mode_with_batchnorm_mutation():
     model = get_net("da_unet", channels=1, num_classes=2, input_shape=(16, 16, 16))
     out = run_model(model, (2, 16, 16, 16, 1), train=True)
     assert out.shape == (2, 16, 16, 16, 2)
+
+
+def test_invalid_s2d_rejected_at_get_net_time():
+    """Packed-path constraints surface as config errors, not trace-time
+    asserts (VERDICT r4 item 7): forcing s2d on odd spatial dims must
+    raise ValueError from get_net itself. (The residual builder gained a
+    packed lowering in round 5, so res_da_se_unet no longer rejects.)"""
+    with pytest.raises(ValueError, match="even spatial dims"):
+        get_net("da_unet", channels=1, num_classes=2, input_shape=(31, 31, 31), s2d=True)
+    with pytest.raises(ValueError, match="even spatial dims"):
+        get_net("hecktor20top1", channels=2, num_classes=2, input_shape=(31, 31, 31), s2d=True)
+    # auto (None) and explicit False remain valid for all of these
+    get_net("res_da_se_unet", channels=1, num_classes=2, input_shape=(32, 32, 32), s2d=None)
+    get_net("da_unet", channels=1, num_classes=2, input_shape=(31, 31, 31), s2d=False)
+
+
+def test_s2d_threads_through_daunet_family():
+    """get_net forwards s2d to the DAUNet family (previously dropped)."""
+    m = get_net("da_unet", channels=1, num_classes=2, input_shape=(32, 32, 32), s2d=True)
+    assert m.s2d is True
+    m = get_net("da_unet", channels=1, num_classes=2, input_shape=(32, 32, 32), s2d=False)
+    assert m.s2d is False
