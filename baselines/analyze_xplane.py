@@ -94,25 +94,56 @@ def main():
         lname, (_, _, line) = max(cands, key=lambda kv: kv[1][0])
         print(f"  aggregating line {lname!r} / {args.steps} steps")
 
+        # per-event stats (bytes accessed / flops) when the profiler
+        # recorded them — the roofline inputs (VERDICT r4 item 1: achieved
+        # GB/s vs HBM peak per residual bucket)
+        stat_meta = {sid: sm.name for sid, sm in plane.stat_metadata.items()}
         by_op = collections.Counter()
         by_cat = collections.Counter()
         occurrences = collections.Counter()
+        bytes_op = collections.Counter()
+        bytes_cat = collections.Counter()
+        flops_op = collections.Counter()
+        seen_stats = collections.Counter()
         for e in line.events:
             name = ev_meta[e.metadata_id].name if e.metadata_id in ev_meta else str(e.metadata_id)
             ms = e.duration_ps / 1e12 * 1e3
             by_op[name] += ms
             occurrences[name] += 1
             by_cat[categorize(name)] += ms
+            for st in e.stats:
+                key = stat_meta.get(st.metadata_id, str(st.metadata_id))
+                seen_stats[key] += 1
+                v = (
+                    st.value.int64_value or st.value.uint64_value
+                    or st.value.double_value
+                )
+                if key in ("bytes_accessed", "memory_bandwidth_util",
+                           "bytes accessed"):
+                    if key.startswith("bytes"):
+                        bytes_op[name] += v
+                        bytes_cat[categorize(name)] += v
+                elif key == "flops":
+                    flops_op[name] += v
 
         total = sum(by_cat.values())
         print(f"\n  total device op time: {total:.1f} ms "
               f"({total / args.steps:.1f} ms/step)")
-        print("\n  by category (ms/step):")
+        if seen_stats:
+            print("  event stat keys seen:", dict(seen_stats.most_common(12)))
+        print("\n  by category (ms/step, GB/step, achieved GB/s):")
         for cat, ms in by_cat.most_common():
-            print(f"    {cat:28s} {ms / args.steps:8.2f}")
-        print(f"\n  top {args.top} ops (ms/step, count/step):")
+            gb = bytes_cat.get(cat, 0) / 1e9 / args.steps
+            bw = (bytes_cat.get(cat, 0) / 1e9) / (ms / 1e3) if ms else 0.0
+            print(f"    {cat:28s} {ms / args.steps:8.2f} {gb:8.2f} {bw:8.1f}")
+        print(f"\n  top {args.top} ops (ms/step, count/step, GB/s, TF/s):")
         for name, ms in by_op.most_common(args.top):
-            print(f"    {ms / args.steps:8.2f}  x{occurrences[name] / args.steps:4.1f}  {name[:90]}")
+            bw = (bytes_op.get(name, 0) / 1e9) / (ms / 1e3) if ms else 0.0
+            tf = (flops_op.get(name, 0) / 1e12) / (ms / 1e3) if ms else 0.0
+            print(
+                f"    {ms / args.steps:8.2f}  x{occurrences[name] / args.steps:4.1f}"
+                f"  {bw:7.1f} {tf:6.1f}  {name[:80]}"
+            )
 
 
 if __name__ == "__main__":
