@@ -229,11 +229,15 @@ class HDenseFormer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     # space-to-depth packed execution of the narrow-channel UNet levels
     # (ops/s2d.py — exact same math, MXU-aligned on TPU). None = auto:
-    # full-rank pack only the <= 32-channel levels (the measured v5e
-    # sweet spot: full-rank at 64ch loses — 2.37x FLOP redundancy
-    # outweighs the lane win, PARITY.md round-2 — and last-dim
-    # partial-rank at 64ch measured neutral, 286.5 vs 288.6 ms at 144^3,
-    # round-3, so it stays opt-in). True = full-rank pack every even-dim
+    # 3D packs the <= 32-channel levels PARTIAL-RANK over (H, W) —
+    # 32ch x 2^2 = exactly the 128 MXU lanes at 1.78x tap redundancy
+    # (48/27), vs full-rank's 256 lanes at 2.37x (64/27). Measured
+    # round-5 same-process A/B at 144^3 b1 depth24: partial (1,2)
+    # 230.4 ms/step vs full-rank 267.6 (1.16x, baselines/
+    # ab_r5_flagship.py); 2D keeps full-rank (both dims = 128 lanes).
+    # Full-rank at 64ch loses (PARITY.md round-2) and last-dim
+    # partial-rank at 64ch measured neutral (round-3/round-5 l1w), so
+    # deeper levels stay fine. True = full-rank pack every even-dim
     # level with < 128 channels. False = off. A tuple of level indices
     # full-rank packs exactly those levels. A dict {level: True |
     # dims-tuple} selects the packing rank per level explicitly
@@ -261,8 +265,12 @@ class HDenseFormer(nn.Module):
             elif isinstance(use_s2d, (tuple, list)):
                 spec = lvl in use_s2d  # explicit level selection, full rank
             elif self.s2d is None:
-                # auto (measured v5e, see field comment)
-                spec = ch <= 32
+                # auto (measured v5e, see field comment): 3D partial-rank
+                # (H, W) at <= 32ch — exactly 128 lanes; 2D full-rank
+                spec = (
+                    False if ch > 32
+                    else ((1, 2) if nsp == 3 else True)
+                )
             else:
                 spec = bool(use_s2d)
             if spec is False or ch >= 128:

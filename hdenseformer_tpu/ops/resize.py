@@ -202,8 +202,17 @@ def _max_pool_ws_bwd(window, res, dy):
     osp = xt.shape[1:1 + nsp]
     xf = xt.reshape((x.shape[0],) + osp + (window**nsp, x.shape[-1]))
     mask = xf == y[..., None, :]
-    first = jnp.cumsum(mask.astype(jnp.int32), axis=-2) == 1
-    sel = jnp.logical_and(mask, first)
+    # first tie in flat window order == argmax(mask): jnp.argmax returns
+    # the FIRST maximal element. The earlier cumsum(mask.astype(int32))
+    # formulation lowered as an s32 prefix-sum reduce-window over the
+    # full [B, *osp, w^nsp, C] tensor — 21.4 + 3.9 ms/step at 144^3 in
+    # the round-5 trace, the single largest non-conv op in the step;
+    # argmax + an iota compare is one reduce plus an elementwise pass.
+    idx = jnp.argmax(mask, axis=-2)  # [B, *osp, C] int32
+    win_iota = jnp.arange(window**nsp, dtype=idx.dtype).reshape(
+        (window**nsp, 1)
+    )
+    sel = win_iota == idx[..., None, :]
     dxf = jnp.where(sel, dy[..., None, :], jnp.zeros((), dy.dtype))
     # invert: flat window axis -> per-dim window axes -> spatial
     dxt = dxf.reshape((x.shape[0],) + osp + (window,) * nsp + (x.shape[-1],))
