@@ -118,20 +118,25 @@ def run_family(name, vol, arms, extra):
 
 
 def main():
+    # 'transbts' runs every arm; 'transbts:off,auto' selects arms (cold
+    # XLA compiles through the relay cost 10-35 min EACH this round, so
+    # arm selection is the difference between an A/B and a timeout)
     which = sys.argv[1:] or ["transbts", "hecktor"]
     out = {}
     for w in which:
-        if w == "transbts":
-            out[w] = run_family(
-                "TransBTS", (128, 128, 128), TRANSBTS_ARMS, {}
-            )
-        elif w == "hecktor":
-            out[w] = run_family(
-                "hecktor20top1", (144, 144, 144), HECKTOR_ARMS,
-                {"remat": True},
-            )
+        fam, _, sel = w.partition(":")
+        keys = sel.split(",") if sel else None
+        if fam == "transbts":
+            arms = TRANSBTS_ARMS
+            args = ("TransBTS", (128, 128, 128), {})
+        elif fam == "hecktor":
+            arms = HECKTOR_ARMS
+            args = ("hecktor20top1", (144, 144, 144), {"remat": True})
         else:
-            raise SystemExit(f"unknown family {w}")
+            raise SystemExit(f"unknown family {fam}")
+        if keys:
+            arms = {k: arms[k] for k in keys}
+        out[fam] = run_family(args[0], args[1], arms, args[2])
     print(json.dumps(out))
 
 

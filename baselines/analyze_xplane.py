@@ -114,10 +114,12 @@ def main():
             for st in e.stats:
                 key = stat_meta.get(st.metadata_id, str(st.metadata_id))
                 seen_stats[key] += 1
-                v = (
-                    st.value.int64_value or st.value.uint64_value
-                    or st.value.double_value
-                )
+                # XStat carries its value as a oneof directly on the stat
+                # (int64_value / uint64_value / double_value / ...)
+                which = st.WhichOneof("value")
+                v = getattr(st, which) if which else 0
+                if isinstance(v, (bytes, str)):
+                    continue
                 if key in ("bytes_accessed", "memory_bandwidth_util",
                            "bytes accessed"):
                     if key.startswith("bytes"):
