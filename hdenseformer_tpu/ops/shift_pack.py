@@ -229,7 +229,8 @@ def _use_pallas(x: Array) -> bool:
     # 377 ms with it vs 333 ms pure-XLA — the custom call is an
     # optimization barrier where XLA otherwise fuses the shift into its
     # neighbors. utils/flags.py::shift_pack (env HDF_SHIFT_PACK, read
-    # once at import) = "pallas" to re-evaluate.
+    # once at import; honored by SemanticSeg/CLI unless the config sets
+    # shift_pack explicitly) = "pallas" to re-evaluate.
     from hdenseformer_tpu.utils.flags import shift_pack_mode
 
     if shift_pack_mode() != "pallas":
